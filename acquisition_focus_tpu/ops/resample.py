@@ -1,0 +1,312 @@
+"""Geometry-preserving volume resampling — the framework's hot op.
+
+Everything here is pure jnp with static shapes, differentiable w.r.t. both the sampled
+values and the sampling affine (gradients flow through the interpolation weights), and
+designed for XLA on TPU: coordinates are computed as fused broadcasted arithmetic and
+values are fetched with flat batched gathers (no scatter into zero volumes, no
+data-dependent shapes).
+
+Semantics match ``torch.nn.functional.affine_grid`` + ``grid_sample`` with
+``align_corners=False`` and zero padding (the reference's convention,
+/root/reference/acquisition_focus/utils/nifti_utils.py:112-207):
+
+* An output voxel (d, h, w) of an (Do, Ho, Wo) target has normalized coordinates
+  g = ((2w+1)/Wo - 1, (2h+1)/Ho - 1, (2d+1)/Do - 1, 1) — note the reversed axis
+  order: the coordinate vector is (x->W, y->H, z->D).
+* The sampling point is s = theta[:3, :] @ g, mapped to input voxel coordinates by
+  i = ((s + 1) * N - 1) / 2 per axis.
+* ``trilinear`` interpolates the 8 surrounding voxels, treating out-of-bounds
+  neighbors as zero; ``nearest`` takes the round-half-to-even neighbor, zero if
+  out of bounds.
+
+The slice->volume re-embedding used by the reconstruction model's skip connections is
+implemented as :func:`sample_slice_into_volume`: instead of materializing a zero volume
+with one written plane and trilinearly resampling it (reference hybrid_unet.py:71-94),
+we exploit that only one plane is non-zero, which collapses the trilinear sample to a
+2D bilinear gather times a triangular plane weight — 2x fewer gathers, 8x less
+memory traffic, and no (B, C, S, S, S) intermediate.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from acquisition_focus_tpu.ops.affine import grid_affines_for_fov, vox_to_grid_offset
+
+
+def _normalized_coords(n, dtype):
+    """Centers of n cells in [-1, 1] under align_corners=False."""
+    return (2.0 * jnp.arange(n, dtype=dtype) + 1.0) / n - 1.0
+
+
+def _sample_points(theta, out_dhw, dtype):
+    """Map the output grid through theta.
+
+    Returns (sx, sy, sz), each (B, Do, Ho, Wo), in normalized input space where
+    sx indexes the W axis, sy the H axis, sz the D axis.
+    """
+    do, ho, wo = out_dhw
+    gx = _normalized_coords(wo, dtype)[None, None, None, :]
+    gy = _normalized_coords(ho, dtype)[None, None, :, None]
+    gz = _normalized_coords(do, dtype)[None, :, None, None]
+    a = theta.astype(dtype)
+
+    def row(i):
+        return (a[:, i, 0, None, None, None] * gx
+                + a[:, i, 1, None, None, None] * gy
+                + a[:, i, 2, None, None, None] * gz
+                + a[:, i, 3, None, None, None])
+
+    return row(0), row(1), row(2)
+
+
+def _to_vox(s, n):
+    """Normalized [-1, 1] coordinate -> continuous voxel index (align_corners=False)."""
+    return ((s + 1.0) * n - 1.0) / 2.0
+
+
+def _flat_gather(vol_flat, idx):
+    """Batched per-channel gather: vol_flat (B, C, N_in), idx (B, N_out) int32."""
+    return jnp.take_along_axis(vol_flat, idx[:, None, :], axis=2)
+
+
+@partial(jax.jit, static_argnames=('out_dhw', 'mode'))
+def grid_sample(volume, theta, out_dhw, mode='trilinear'):
+    """Affine grid sample of a batched volume.
+
+    Args:
+      volume: (B, C, D, H, W).
+      theta: (B, 4, 4) or (B, 3, 4) grid-space affine (rows beyond 3 ignored).
+      out_dhw: static (Do, Ho, Wo).
+      mode: 'trilinear' | 'nearest'.
+
+    Returns: (B, C, Do, Ho, Wo), dtype of ``volume``.
+    """
+    B, C, D, H, W = volume.shape
+    do, ho, wo = out_dhw
+    n_out = do * ho * wo
+    cdtype = jnp.float32 if theta.dtype != jnp.float64 else jnp.float64
+
+    sx, sy, sz = _sample_points(theta[:, :3, :], out_dhw, cdtype)
+    ix = _to_vox(sx, W).reshape(B, n_out)
+    iy = _to_vox(sy, H).reshape(B, n_out)
+    iz = _to_vox(sz, D).reshape(B, n_out)
+
+    vol_flat = volume.reshape(B, C, D * H * W)
+
+    if mode == 'nearest':
+        xi = jnp.round(ix).astype(jnp.int32)
+        yi = jnp.round(iy).astype(jnp.int32)
+        zi = jnp.round(iz).astype(jnp.int32)
+        valid = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & (zi >= 0) & (zi < D))
+        xi = jnp.clip(xi, 0, W - 1)
+        yi = jnp.clip(yi, 0, H - 1)
+        zi = jnp.clip(zi, 0, D - 1)
+        vals = _flat_gather(vol_flat, (zi * H + yi) * W + xi)
+        out = jnp.where(valid[:, None, :], vals, jnp.zeros((), volume.dtype))
+        return out.reshape(B, C, do, ho, wo)
+
+    if mode != 'trilinear':
+        raise ValueError(f"unknown mode {mode!r}")
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    fx = (ix - x0).astype(cdtype)
+    fy = (iy - y0).astype(cdtype)
+    fz = (iz - z0).astype(cdtype)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    z0 = z0.astype(jnp.int32)
+
+    acc = jnp.zeros((B, C, n_out), dtype=cdtype)
+    for dz in (0, 1):
+        wz = fz if dz else (1.0 - fz)
+        zi = z0 + dz
+        vz = (zi >= 0) & (zi < D)
+        zc = jnp.clip(zi, 0, D - 1)
+        for dy in (0, 1):
+            wy = fy if dy else (1.0 - fy)
+            yi = y0 + dy
+            vy = vz & (yi >= 0) & (yi < H)
+            yc = jnp.clip(yi, 0, H - 1)
+            for dx in (0, 1):
+                wx = fx if dx else (1.0 - fx)
+                xi = x0 + dx
+                v = vy & (xi >= 0) & (xi < W)
+                xc = jnp.clip(xi, 0, W - 1)
+                w = jnp.where(v, wz * wy * wx, 0.0)
+                vals = _flat_gather(vol_flat, (zc * H + yc) * W + xc)
+                acc = acc + vals.astype(cdtype) * w[:, None, :]
+
+    return acc.reshape(B, C, do, ho, wo).astype(volume.dtype)
+
+
+def nifti_grid_sample(volume, nii_affine, target_fov_mm=None, target_fov_vox=None,
+                      is_label=False, pre_grid_sample_affine=None):
+    """Resample a NIfTI volume to a target FOV, preserving physical geometry.
+
+    The physical-space anchor is the input volume center; orientation/translation
+    changes enter through ``pre_grid_sample_affine`` (grid space). The returned
+    output NIfTI affine keeps RAS+ mm geometry consistent with the resampled array.
+
+    Args:
+      volume: (B, C, D, H, W). Integer dtypes are sampled in float32.
+      nii_affine: (B, 4, 4) vox->RAS affine of ``volume``.
+      target_fov_mm: (3,) target physical extent (D, H, W order); default keeps input.
+      target_fov_vox: static (3,) ints; default keeps input shape.
+      is_label: nearest sampling if True, else trilinear with min-shift so that
+        zero-padding pads with the volume minimum (reference nifti_utils.py:194-203).
+      pre_grid_sample_affine: optional (B, 4, 4) grid-space affine.
+
+    Returns: (resampled (B, C, *target_fov_vox), grid_affine (B, 4, 4),
+              out_nii_affine (B, 4, 4)).
+
+    Parity: ``nifti_grid_sample`` (reference nifti_utils.py:112-207).
+    """
+    B, C, D, H, W = volume.shape
+    in_shape = (D, H, W)
+    if target_fov_vox is None:
+        target_fov_vox = in_shape
+    target_fov_vox = tuple(int(v) for v in target_fov_vox)
+
+    if target_fov_mm is None:
+        from acquisition_focus_tpu.ops.affine import affine_zooms
+        target_fov_mm = affine_zooms(nii_affine) * jnp.asarray(in_shape, nii_affine.dtype)
+
+    grid_affine, out_nii = grid_affines_for_fov(
+        nii_affine, in_shape, target_fov_mm, jnp.asarray(target_fov_vox),
+        pre_grid_sample_affine)
+
+    in_dtype = volume.dtype
+    if not jnp.issubdtype(in_dtype, jnp.floating):
+        volume = volume.astype(jnp.float32)
+
+    if is_label:
+        out = grid_sample(volume, grid_affine, target_fov_vox, mode='nearest')
+    else:
+        min_value = volume.min()
+        out = grid_sample(volume - min_value, grid_affine, target_fov_vox,
+                          mode='trilinear') + min_value
+
+    return out.astype(in_dtype), grid_affine, out_nii
+
+
+@partial(jax.jit, static_argnames=('out_spat',))
+def sample_slice_into_volume(slices, theta, out_spat):
+    """Trilinearly resample a single-plane volume, without materializing it.
+
+    Equivalent to: build an (S, S, S) zero volume, write ``slices`` into plane
+    w = S//2, and ``grid_sample(volume, theta, (out_spat,)*3, 'trilinear')``.
+    Because every other plane is zero, the trilinear sample factorizes into a 2D
+    bilinear sample of the plane times a triangular weight on the distance of the
+    continuous w coordinate to the plane.
+
+    Args:
+      slices: (B, C, S, S) — the (D, H) extent of the embedded plane.
+      theta: (B, 4, 4) grid-space affine (volume -> plane space).
+      out_spat: static int, output volume edge length.
+
+    Returns: (B, C, out_spat, out_spat, out_spat).
+
+    Parity: ``SkipConnector.forward`` (reference hybrid_unet.py:71-94).
+    """
+    B, C, S, S2 = slices.shape
+    assert S == S2
+    n_out = out_spat ** 3
+    cdtype = jnp.float32
+
+    sx, sy, sz = _sample_points(theta[:, :3, :], (out_spat,) * 3, cdtype)
+    ix = _to_vox(sx, S).reshape(B, n_out)   # W axis: plane position
+    iy = _to_vox(sy, S).reshape(B, n_out)   # H axis: slice dim 3
+    iz = _to_vox(sz, S).reshape(B, n_out)   # D axis: slice dim 2
+
+    plane_w = jnp.maximum(0.0, 1.0 - jnp.abs(ix - (S // 2)))
+
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    fy = (iy - y0).astype(cdtype)
+    fz = (iz - z0).astype(cdtype)
+    y0 = y0.astype(jnp.int32)
+    z0 = z0.astype(jnp.int32)
+
+    slc_flat = slices.reshape(B, C, S * S)
+    acc = jnp.zeros((B, C, n_out), dtype=cdtype)
+    for dz in (0, 1):
+        wz = fz if dz else (1.0 - fz)
+        zi = z0 + dz
+        vz = (zi >= 0) & (zi < S)
+        zc = jnp.clip(zi, 0, S - 1)
+        for dy in (0, 1):
+            wy = fy if dy else (1.0 - fy)
+            yi = y0 + dy
+            v = vz & (yi >= 0) & (yi < S)
+            yc = jnp.clip(yi, 0, S - 1)
+            w = jnp.where(v, plane_w * wz * wy, 0.0)
+            vals = _flat_gather(slc_flat, zc * S + yc)
+            acc = acc + vals.astype(cdtype) * w[:, None, :]
+
+    return acc.reshape(B, C, out_spat, out_spat, out_spat).astype(slices.dtype)
+
+
+def crop_around_label_center(label, nii_affine, target_fov_mm, target_fov_vox,
+                             image=None, center_mode='mean'):
+    """Crop/resample around the foreground center of a label volume.
+
+    Args:
+      label: (B, C, D, H, W) integer-valued label volume.
+      nii_affine: (B, 4, 4).
+      target_fov_mm: (3,). target_fov_vox: static (3,) ints (-1 keeps that axis).
+      image: optional (B, C, D, H, W) intensity volume resampled with the same crop.
+      center_mode: 'mean' (mass center, truncated to int) or 'minmax' (bbox center).
+
+    Returns: (cropped_label, cropped_image_or_None, cropped_nii_affine).
+
+    Parity: ``crop_around_label_center`` (reference nifti_utils.py:211-250).
+    """
+    assert center_mode in ('mean', 'minmax')
+    B = label.shape[0]
+    spatial = label.shape[2:]
+    target_fov_vox = tuple(
+        int(s) if int(t) == -1 else int(t) for s, t in zip(spatial, target_fov_vox))
+
+    mask = (label != 0).any(axis=1)  # (B, D, H, W)
+    coords = [jnp.arange(n, dtype=jnp.float32) for n in spatial]
+    grids = jnp.meshgrid(*coords, indexing='ij')
+
+    centers = []
+    for g in grids:
+        gb = jnp.broadcast_to(g[None], mask.shape)
+        if center_mode == 'mean':
+            c = (gb * mask).sum(axis=(1, 2, 3)) / jnp.maximum(mask.sum(axis=(1, 2, 3)), 1)
+            c = jnp.trunc(c)
+        else:
+            lo = jnp.min(jnp.where(mask, gb, jnp.inf), axis=(1, 2, 3))
+            hi = jnp.max(jnp.where(mask, gb, -jnp.inf), axis=(1, 2, 3))
+            c = jnp.round((lo + hi) / 2.0)
+        centers.append(c)
+    center = jnp.stack(centers, axis=-1)  # (B, 3) in (d, h, w) vox order
+
+    shape_dhw = jnp.asarray(spatial, jnp.float32)
+    pre = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    # grid-space translation is in (x->W, y->H, z->D) vector order => flip
+    pre = pre.at[:, :3, 3].set(vox_to_grid_offset(center, shape_dhw)[:, ::-1])
+
+    cropped_image = None
+    if image is not None:
+        cropped_image, _, _ = nifti_grid_sample(
+            image, nii_affine, target_fov_mm, target_fov_vox,
+            is_label=False, pre_grid_sample_affine=pre)
+    cropped_label, _, cropped_nii = nifti_grid_sample(
+        label, nii_affine, target_fov_mm, target_fov_vox,
+        is_label=True, pre_grid_sample_affine=pre)
+    return cropped_label, cropped_image, cropped_nii
+
+
+def resize_trilinear(x, out_dhw):
+    """Half-pixel-center trilinear resize of (B, C, D, H, W) (edge clamped), matching
+    torch ``F.interpolate(mode='trilinear', align_corners=False)`` semantics used for
+    slice upsampling (reference run_dl.py:193-197)."""
+    B, C = x.shape[:2]
+    return jax.image.resize(x, (B, C) + tuple(out_dhw), method='linear')

@@ -1,0 +1,38 @@
+"""Test config: run JAX on CPU with 8 virtual devices so multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md §4/§5.8)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS; force CPU through the config API.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def reference_available():
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "acquisition_focus"))
+
+
+def import_reference_module(name):
+    """Import a module from the read-only upstream reference to use as a numerical
+    oracle in parity tests. Never shipped, never required at runtime."""
+    import sys
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import importlib
+    return importlib.import_module(name)
