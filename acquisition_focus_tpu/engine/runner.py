@@ -1,0 +1,289 @@
+"""Run orchestration: epoch loops, metric cadence, checkpointing, stage hand-off.
+
+Capability port of the reference training engine ``run_dl``/``epoch_iter``
+(/root/reference/acquisition_focus/running/run_dl.py:394-735), with the hot path
+fully inside the jitted ``train_step``/``eval_step`` of engine.train and only
+per-epoch bookkeeping on the host.
+"""
+
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from acquisition_focus_tpu.engine.checkpoint import (
+    checkpoint_exists, load_checkpoint, save_checkpoint)
+from acquisition_focus_tpu.engine.metrics import (
+    accumulate_label_scores, hausdorff_per_class, iou_per_class,
+    reduce_label_scores)
+from acquisition_focus_tpu.engine.optimizers import (
+    make_reconstruction_optimizer, make_transform_optimizer)
+from acquisition_focus_tpu.engine.train import (
+    StageSpec, eval_step, init_params, make_models, train_step)
+from acquisition_focus_tpu.geometry.clinical_views import get_class_volumes
+from acquisition_focus_tpu.ops.affine import affine_zooms
+from acquisition_focus_tpu.utils.logging import RunLogger, get_global_idx
+
+
+def spec_from_config(config, num_classes, n_active_views, phase='train'):
+    """Build the static StageSpec for a phase from the merged stage config."""
+    aug_on = phase in config.get('aug_phases', ['train', 'val'])
+    return StageSpec(
+        n_views=len(config['base_views']),
+        num_classes=num_classes,
+        n_active_views=n_active_views,
+        view_optimization_mode=config['view_optimization_mode'],
+        use_affine_theta=config['use_affine_theta'],
+        use_binarized_labels=config.get('use_binarized_labels', False),
+        optimize_lv_only=config.get('optimize_lv_only', False),
+        hires_fov_mm=tuple(config['hires_fov_mm']),
+        hires_fov_vox=tuple(config['hires_fov_vox']),
+        slice_fov_mm=tuple(config['slice_fov_mm']),
+        slice_fov_vox=tuple(config['slice_fov_vox']),
+        prescan_fov_mm=tuple(config['prescan_fov_mm']),
+        prescan_fov_vox=tuple(config['prescan_fov_vox']),
+        optim_method=config['affine_theta_optim_method'],
+        offset_clip_value=config['offset_clip_value'],
+        zoom_clip_value=config['zoom_clip_value'],
+        augment_input=config.get('do_augment_input_orientation', True) and aug_on,
+        augment_recon=config.get('do_augment_recon_orientation', False) and aug_on,
+        augment_strength=config.get('sample_augment_strength', 1.0),
+        num_grad_accum_steps=config['num_grad_accum_steps'],
+        compute_dtype=config.get('compute_dtype', 'bfloat16'),
+        model_type=config.get('model_type', 'hybrid-unet'),
+    )
+
+
+def n_active_views_for(config):
+    if 'n_active_views' in config and config['n_active_views'] is not None:
+        return int(config['n_active_views'])
+    return len(config['base_views'])
+
+
+def _to_device(batch):
+    return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
+def _heavy_metric_epoch(config, epx):
+    return ((epx % config.get('metrics_every', 20) == 0 and epx > 0)
+            or (epx + 1 == config['epochs']) or config.get('debug', False)
+            or bool(config.get('test_only_and_output_to')))
+
+
+def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
+           test_dataset=None, run_test_once_only=False, run_name='run'):
+    """Train one stage on one fold. Returns the best save path (if any)."""
+    fold_idx, (train_idxs, val_idxs) = fold_properties
+    num_classes = len(training_dataset.label_tags) if training_dataset \
+        else len(test_dataset.label_tags)
+    n_active = n_active_views_for(config)
+
+    logger = RunLogger(config.get('log_dir', 'data/runs'), run_name,
+                       config.get('wandb_mode', 'disabled'), config)
+
+    specs = {p: spec_from_config(config, num_classes, n_active, p)
+             for p in ('train', 'val', 'test')}
+    spec = specs['train']
+    unet, atms = make_models(spec)
+
+    # params init / checkpoint restore (reference run_dl.py:641-650)
+    rng = jax.random.key(config.get('seed', 0))
+    unet_params, atm_params = init_params(spec, rng, batch_size=1)
+    epx_start = 0
+    mdl_chk = config.get('model_checkpoint_path')
+    if mdl_chk and checkpoint_exists(mdl_chk):
+        ck = load_checkpoint(mdl_chk)
+        unet_params = ck['unet_params']
+        atm_params = ck['atm_params']
+        epx_start = int(ck.get('epoch', 0))
+        print(f"Loaded model checkpoint from {mdl_chk} (epoch {epx_start})")
+    trans_chk = config.get('transform_model_checkpoint_path')
+    if trans_chk and checkpoint_exists(trans_chk):
+        ck = load_checkpoint(trans_chk)
+        atm_params = ck['atm_params']
+        print(f"Loaded transform checkpoint from {trans_chk}")
+
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(unet_params))
+    print(f"Reconstruction model params: {n_params / 1e6:.2f}M; "
+          f"stage active views: {n_active}/{spec.n_views}")
+
+    # optimizers (fresh per stage, like the reference's per-run factories)
+    B = config['batch_size']
+    accum = config['num_grad_accum_steps']
+    updates_per_epoch = max(1, len(train_idxs) // (B * accum))
+    recon_opt = make_reconstruction_optimizer(
+        config['lr'], updates_per_epoch, config.get('use_scheduling', True))
+    trans_opt = make_transform_optimizer(
+        config['lr'], config['epochs'], updates_per_epoch,
+        config.get('use_scheduling', True))
+    recon_state = recon_opt.init(unet_params)
+    trans_state = trans_opt.init(atm_params)
+
+    best_quality = float('inf')
+    best_save_path = None
+    data_rng = np.random.default_rng(config.get('seed', 0) + fold_idx)
+
+    out_dir = Path(base_dir) / 'data/output' / run_name
+
+    for epx in range(epx_start, config['epochs']):
+        global_idx = get_global_idx(fold_idx, epx, config['epochs'])
+        logger.log({'ref_epoch_idx': epx}, step=global_idx)
+        epoch_t0 = time.time()
+
+        if not run_test_once_only:
+            # ---- train ----
+            t_metrics = {}
+            losses = []
+            n_steps = 0
+            for sel, batch in training_dataset.iterate_train_macrobatches(
+                    train_idxs, B, accum, data_rng):
+                step_key = jax.random.fold_in(
+                    jax.random.key(config.get('seed', 0)), global_idx * 10000 + n_steps)
+                (unet_params, atm_params, recon_state, trans_state,
+                 metrics, _) = train_step(
+                    specs['train'], unet, atms, recon_opt, trans_opt,
+                    unet_params, atm_params, recon_state, trans_state,
+                    _to_device(batch), step_key)
+                losses.append(float(metrics['loss']))
+                accumulate_label_scores(
+                    t_metrics, 'dice', np.asarray(metrics['dice']),
+                    training_dataset.label_tags)
+                n_steps += 1
+            train_loss = float(np.mean(losses)) if losses else float('nan')
+            _log_phase(logger, config, 'train', train_loss, t_metrics, global_idx)
+
+            # ---- val ----
+            val_loss = _eval_phase(
+                'val', specs['val'], unet, atms, unet_params, atm_params,
+                training_dataset, val_idxs, config, logger, global_idx, epx,
+                out_dir=None)
+        else:
+            train_loss, val_loss = float('nan'), float('nan')
+
+        # ---- test ----
+        test_out_dir = config.get('test_only_and_output_to') or None
+        _eval_phase('test', specs['test'], unet, atms, unet_params, atm_params,
+                    test_dataset, None, config, logger, global_idx, epx,
+                    out_dir=test_out_dir)
+
+        print(f"epoch {epx}: train_loss={train_loss:.4f} val_loss={val_loss:.4f} "
+              f"({time.time() - epoch_t0:.1f}s)")
+
+        if run_test_once_only:
+            break
+
+        # ---- checkpointing (reference run_dl.py:692-730) ----
+        quality = val_loss
+        save_every = config.get('save_every')
+        ckpt_state = dict(unet_params=unet_params, atm_params=atm_params,
+                          epoch=epx, loss=train_loss)
+        if save_every == 'best':
+            if quality < best_quality:
+                best_quality = quality
+                save_path = Path(base_dir) / config['mdl_save_prefix'] / \
+                    f"{run_name}_best"
+                save_checkpoint(save_path, ckpt_state)
+                best_save_path = str(save_path)
+                if stage is not None:
+                    stage['save_path'] = str(save_path)
+        elif isinstance(save_every, int) and (
+                epx % save_every == 0 or epx + 1 == config['epochs']):
+            save_path = Path(base_dir) / config['mdl_save_prefix'] / \
+                f"{run_name}_epx{epx}"
+            save_checkpoint(save_path, ckpt_state)
+            best_save_path = str(save_path)
+            if stage is not None:
+                stage['save_path'] = str(save_path)
+
+        if config.get('debug'):
+            break
+
+    logger.finish()
+    return best_save_path
+
+
+def _log_phase(logger, config, phase, loss, label_scores, global_idx):
+    logger.log({f'losses/{phase}_loss': loss}, step=global_idx)
+    (mean_pl, std_pl, mean_oa, std_oa) = reduce_label_scores(label_scores)
+    logger.log_label_metrics(f'scores/{phase}_mean', mean_pl, global_idx)
+    logger.log_label_metrics(f'scores/{phase}_std', std_pl, global_idx)
+    logger.log_oa_metrics(f'scores/{phase}_mean_oa_exclude_bg', mean_oa, global_idx,
+                          selected=('dice',))
+    logger.log_oa_metrics(f'scores/{phase}_std_oa_exclude_bg', std_oa, global_idx)
+
+
+def _eval_phase(phase, spec, unet, atms, unet_params, atm_params, dataset, idxs,
+                config, logger, global_idx, epx, out_dir=None):
+    if dataset is None or len(dataset) == 0:
+        return float('nan')
+    scores = {}
+    losses = []
+    heavy = _heavy_metric_epoch(config, epx)
+    batch_size = config.get('val_batch_size', 1)
+    eval_tags = dataset.label_tags
+    num_eval = len(eval_tags)
+
+    for i, (sel, batch) in enumerate(dataset.iterate_eval_batches(idxs, batch_size)):
+        rng = jax.random.fold_in(jax.random.key(config.get('seed', 0) + 7),
+                                 global_idx * 10000 + i)
+        with_aug = (phase in config.get('aug_phases', []) and
+                    config.get('do_augment_input_orientation', False))
+        out = eval_step(spec, unet, atms, unet_params, atm_params,
+                        _to_device(batch), rng, with_aug=with_aug)
+        losses.append(float(out['loss']))
+        accumulate_label_scores(scores, 'dice', np.asarray(out['dice']), eval_tags)
+
+        if heavy:
+            pred = np.asarray(out['pred'])
+            target = np.asarray(batch['label'])
+            if spec.use_binarized_labels:
+                target = (target > 0).astype(np.int32)
+            nifti_zooms = np.asarray(affine_zooms(batch['nii_affine']))
+            zoom_norm = float(np.linalg.norm(nifti_zooms[0]))
+            pred_oh = jnp.asarray((pred[:, None] == np.arange(num_eval)
+                                   [None, :, None, None, None]).astype(np.float32))
+            tgt_oh = jnp.asarray((target[:, None] == np.arange(num_eval)
+                                  [None, :, None, None, None]).astype(np.float32))
+            accumulate_label_scores(scores, 'iou',
+                                    np.asarray(iou_per_class(pred_oh, tgt_oh)),
+                                    eval_tags)
+            hd = hausdorff_per_class(pred, target, num_eval) * zoom_norm
+            accumulate_label_scores(scores, 'hd', hd, eval_tags)
+            hd95 = hausdorff_per_class(pred, target, num_eval, percentile=95) * zoom_norm
+            accumulate_label_scores(scores, 'hd95', hd95, eval_tags)
+
+            vols_p = np.asarray(get_class_volumes(pred, nifti_zooms, num_eval, 'ml'))
+            vols_t = np.asarray(get_class_volumes(target, nifti_zooms, num_eval, 'ml'))
+            diff = np.abs(vols_p - vols_t)
+            accumulate_label_scores(scores, 'delta_vol_ml', diff, eval_tags)
+            accumulate_label_scores(scores, 'delta_vol_rel',
+                                    diff / np.maximum(vols_t, 1e-8), eval_tags)
+
+        if out_dir:
+            _store_eval_output(out_dir, i, sel, batch, out)
+        if config.get('debug'):
+            break
+
+    loss = float(np.mean(losses)) if losses else float('nan')
+    _log_phase(logger, config, phase, loss, scores, global_idx)
+    return loss
+
+
+def _store_eval_output(out_dir, batch_idx, sel, batch, out):
+    """Dump network inputs/outputs for test-only runs (reference run_dl.py:534-537)."""
+    import pickle
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    payload = dict(
+        ids=sel,
+        input=np.asarray(out['b_input'], np.float16),
+        pred=np.asarray(out['pred'], np.int8),
+        target=np.asarray(batch['label'], np.int8),
+        thetas=np.asarray(out['thetas']),
+        grid_affines=np.asarray(out['grid_affines']),
+        out_nii_affines=np.asarray(out['out_nii_affines']),
+    )
+    with open(out_dir / f'output_batch{batch_idx:05d}.pkl', 'wb') as f:
+        pickle.dump(payload, f)

@@ -1,0 +1,343 @@
+"""Jitted training and evaluation steps.
+
+One compiled ``train_step`` covers the whole hot path of the reference's
+``model_step``/``epoch_iter`` (/root/reference/acquisition_focus/running/
+run_dl.py:238-489), re-structured for XLA:
+
+* all per-view Python loops become a folded view x batch leading axis with static
+  view counts per stage (recompiled per stage, which is cheap and exact);
+* the reference's requires_grad flipping per stage (run_dl.py:116-123) becomes
+  ``stop_gradient`` placement + a per-view gradient mask over the stacked ATM params;
+* gradient accumulation is a ``lax.scan`` over microbatches inside the step
+  (mean of per-microbatch gradients — equal to the reference's loss/accum_steps sum,
+  run_dl.py:444-451);
+* both optimizers update inside the same compiled step.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from acquisition_focus_tpu.engine.losses import binarize_onehot, dice_ce_loss
+from acquisition_focus_tpu.engine.metrics import dice_per_class
+from acquisition_focus_tpu.models.atm import StackedATMs
+from acquisition_focus_tpu.models.hybrid_unet import HybridUnet
+from acquisition_focus_tpu.ops.affine import compose
+from acquisition_focus_tpu.ops.resample import nifti_grid_sample, resize_trilinear
+from acquisition_focus_tpu.ops.rotations import random_affine_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class StageSpec:
+    """Static stage description — everything that shapes the traced program."""
+    n_views: int
+    num_classes: int
+    n_active_views: int
+    view_optimization_mode: str          # opt-all | opt-current-fix-previous | opt-none
+    use_affine_theta: bool
+    use_binarized_labels: bool = False
+    optimize_lv_only: bool = False
+    lv_class: int = 2
+    hires_fov_mm: Tuple[float, ...] = (192.0, 192.0, 192.0)
+    hires_fov_vox: Tuple[int, ...] = (128, 128, 128)
+    slice_fov_mm: Tuple[float, ...] = (192.0, 192.0, 1.5)
+    slice_fov_vox: Tuple[int, ...] = (128, 128, 1)
+    prescan_fov_mm: Tuple[float, ...] = (192.0, 192.0, 192.0)
+    prescan_fov_vox: Tuple[int, ...] = (128, 128, 128)
+    optim_method: str = 'R6-vector'
+    offset_clip_value: float = 0.2
+    zoom_clip_value: float = 0.0
+    augment_input: bool = True
+    augment_recon: bool = False
+    augment_strength: float = 1.0
+    num_grad_accum_steps: int = 2
+    compute_dtype: str = 'bfloat16'
+    model_type: str = 'hybrid-unet'
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == 'bfloat16' else jnp.float32
+
+    def view_train_mask(self):
+        """(n_active_views,) bool: which views' thetas receive gradients."""
+        mask = np.zeros(self.n_active_views, bool)
+        if not self.use_affine_theta:
+            return mask
+        if self.view_optimization_mode == 'opt-all':
+            mask[:] = True
+        elif self.view_optimization_mode == 'opt-current-fix-previous':
+            mask[-1] = True
+        return mask
+
+
+def make_models(spec: StageSpec):
+    unet = HybridUnet(n_views=spec.n_views, num_classes=spec.num_classes,
+                      dtype=spec.dtype)
+    atms = StackedATMs(
+        n_views=spec.n_views, optim_method=spec.optim_method,
+        prescan_spat=spec.prescan_fov_vox[0],
+        offset_clip_value=spec.offset_clip_value,
+        zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype)
+    return unet, atms
+
+
+def init_params(spec: StageSpec, rng_key, batch_size=1):
+    unet, atms = make_models(spec)
+    k1, k2 = jax.random.split(rng_key)
+    S = spec.hires_fov_vox[0]
+    P = spec.prescan_fov_vox[0]
+    x = jnp.zeros((batch_size, spec.n_views * spec.num_classes, S, S))
+    affs = jnp.broadcast_to(jnp.eye(4), (spec.n_views, batch_size, 4, 4))
+    unet_params = unet.init(k1, x, affs)
+    xp = jnp.zeros((spec.n_views, batch_size, P, P, P, spec.num_classes))
+    atm_params = atms.init(k2, xp)
+    return unet_params, atm_params
+
+
+def _fold(x):
+    """(V, B, ...) -> (V*B, ...)"""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _active_atm_params(atm_params, n_active):
+    return jax.tree_util.tree_map(lambda p: p[:n_active], atm_params)
+
+
+def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affine,
+                        view_affines, augment_rng=None):
+    """Produce per-view model-input slices along learned view planes.
+
+    Args:
+      soft_label: (B, C, D, H, W) float one-hot label volume (centroid-reoriented).
+      nii_affine: (B, 4, 4) of that volume.
+      view_affines: (A, B, 4, 4) input grid affines for the A *active* views
+        (inv(base) @ clinical view affine — reference run_dl.py:227-234).
+      augment_rng: optional key -> per-sample input-orientation augmentation
+        (shared across views, reference run_dl.py:208-223,274-279).
+
+    Returns: (slices (A, B, C, Sh, Sw), grid_affines (A, B, 4, 4),
+              out_nii_affines (A, B, 4, 4), thetas (A, B, 4, 4))
+    """
+    A = spec.n_active_views
+    B, C = soft_label.shape[0], soft_label.shape[1]
+
+    if augment_rng is not None:
+        aug = random_affine_batch(
+            augment_rng, B,
+            rotation_strength=0.1 * spec.augment_strength,
+            zoom_strength=0.2 * spec.augment_strength,
+            offset_strength=0.0)
+        view_affines = compose(view_affines, aug[None])
+
+    nii_tiled = jnp.broadcast_to(nii_affine[None], (A,) + nii_affine.shape)
+    soft_tiled = jnp.broadcast_to(soft_label[None], (A,) + soft_label.shape)
+
+    if spec.use_affine_theta:
+        # 1) no-grad resample of the soft label into each view's prescan frame —
+        #    the localization net input (reference learnable_transform.py:248-255)
+        prescan, _, _ = nifti_grid_sample(
+            _fold(soft_tiled), _fold(nii_tiled),
+            jnp.asarray(spec.prescan_fov_mm), spec.prescan_fov_vox,
+            is_label=False, pre_grid_sample_affine=_fold(view_affines))
+        prescan = jax.lax.stop_gradient(prescan)
+        P = spec.prescan_fov_vox
+        prescan = jnp.transpose(prescan, (0, 2, 3, 4, 1)).reshape(
+            (A, B) + tuple(P) + (C,))
+
+        # 2) stacked localization nets -> constrained thetas
+        active = StackedATMs(
+            n_views=A, optim_method=spec.optim_method,
+            prescan_spat=spec.prescan_fov_vox[0],
+            offset_clip_value=spec.offset_clip_value,
+            zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype)
+        thetas = active.apply(_active_atm_params(atm_params, A), prescan)
+    else:
+        thetas = jnp.broadcast_to(jnp.eye(4), (A, B, 4, 4)).astype(jnp.float32)
+
+    # per-view trainability: gradient flows only through unmasked views' thetas
+    mask = jnp.asarray(spec.view_train_mask())[:, None, None, None]
+    thetas = jnp.where(mask, thetas, jax.lax.stop_gradient(thetas))
+
+    # 3) differentiable slicing of the soft label along view_affine @ theta
+    pre = compose(view_affines, thetas)
+    slices, grid_affines, out_nii = nifti_grid_sample(
+        _fold(soft_tiled), _fold(nii_tiled),
+        jnp.asarray(spec.slice_fov_mm), spec.slice_fov_vox,
+        is_label=False, pre_grid_sample_affine=_fold(pre))
+
+    Sh, Sw = spec.slice_fov_vox[0], spec.slice_fov_vox[1]
+    slices = slices.reshape(A, B, C, Sh, Sw, spec.slice_fov_vox[2])[..., 0]
+    if (Sh, Sw) != tuple(spec.hires_fov_vox[:2]):
+        # upsample to hires in-plane resolution (reference run_dl.py:193-197)
+        target = tuple(spec.hires_fov_vox[:2]) + (1,)
+        up = resize_trilinear(_fold(slices)[..., None], target)[..., 0]
+        slices = up.reshape((A, B, C) + tuple(spec.hires_fov_vox[:2]))
+
+    grid_affines = grid_affines.reshape(A, B, 4, 4)
+    out_nii = out_nii.reshape(A, B, 4, 4)
+    return slices, grid_affines, out_nii, thetas
+
+
+def assemble_model_input(spec: StageSpec, slices, grid_affines, augment_rng=None):
+    """Duplicate the current view to fill missing views and stack into the model
+    input (reference run_dl.py:318-329); optional reconstruction-side augmentation."""
+    A, V = spec.n_active_views, spec.n_views
+    idx = list(range(A)) + [A - 1] * (V - A)
+    slices = slices[jnp.asarray(idx)]
+    grid_affines = grid_affines[jnp.asarray(idx)]
+
+    if augment_rng is not None:
+        B = slices.shape[1]
+        aug = random_affine_batch(
+            augment_rng, B,
+            rotation_strength=0.1 * spec.augment_strength,
+            zoom_strength=0.2 * spec.augment_strength,
+            offset_strength=0.0)
+        grid_affines = compose(grid_affines, aug[None])
+
+    b_input = jnp.concatenate([slices[v] for v in range(V)], axis=1)
+    return b_input, grid_affines
+
+
+def forward(spec: StageSpec, unet, unet_params, atms, atm_params, batch, rng,
+            train: bool):
+    """Full forward: volumes -> view slices -> reconstruction -> loss."""
+    label = batch['label']              # (B, D, H, W) int
+    nii_affine = batch['nii_affine']    # (B, 4, 4)
+    view_affines = batch['view_affines'][:spec.n_active_views]  # (A, B, 4, 4)
+
+    onehot = jax.nn.one_hot(label, spec.num_classes, axis=1, dtype=jnp.float32)
+    soft_label = onehot
+
+    aug_in = None
+    aug_recon = None
+    if rng is not None:
+        k_in, k_re = jax.random.split(rng)
+        aug_in = k_in if spec.augment_input else None
+        aug_recon = k_re if spec.augment_recon else None
+
+    slices, grid_affines, out_nii, thetas = extract_view_slices(
+        spec, atms, atm_params, soft_label, nii_affine, view_affines, aug_in)
+    b_input, grid_affines_full = assemble_model_input(
+        spec, slices, grid_affines, aug_recon)
+
+    logits = unet.apply(unet_params, b_input, grid_affines_full)
+
+    target = onehot
+    y_hat = logits
+    if spec.use_binarized_labels:
+        target = binarize_onehot(target)
+        y_hat = binarize_onehot(y_hat)
+
+    if spec.optimize_lv_only:
+        sel = jnp.asarray([0, spec.lv_class])
+        loss = dice_ce_loss(y_hat[:, sel], target[:, sel])
+    else:
+        loss = dice_ce_loss(y_hat, target)
+
+    aux = {
+        'logits': y_hat,
+        'target_onehot': target,
+        'grid_affines': grid_affines_full,
+        'out_nii_affines': out_nii,
+        'thetas': thetas,
+        'b_input': b_input,
+    }
+    return loss, aux
+
+
+def _metrics_from_logits(spec, logits, target_onehot):
+    pred = jnp.argmax(logits, axis=1)
+    num_eval = 2 if spec.use_binarized_labels else spec.num_classes
+    pred_oh = jax.nn.one_hot(pred, num_eval, axis=1, dtype=jnp.float32)
+    dice = dice_per_class(pred_oh, target_onehot)
+    return pred.astype(jnp.int32), dice
+
+
+@partial(jax.jit, static_argnames=('spec', 'unet', 'atms', 'recon_opt', 'trans_opt'))
+def train_step(spec: StageSpec, unet, atms, recon_opt, trans_opt,
+               unet_params, atm_params, recon_opt_state, trans_opt_state,
+               batch, rng):
+    """One optimizer update over num_grad_accum_steps microbatches.
+
+    batch leaves have leading (accum, B, ...). Returns new params/opt states and
+    per-microbatch metrics.
+    """
+    accum = spec.num_grad_accum_steps
+
+    def loss_fn(params, micro, key):
+        u_p, a_p = params
+        loss, aux = forward(spec, unet, u_p, atms, a_p, micro, key, train=True)
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def scan_body(carry, inp):
+        grads_acc, _ = carry
+        micro, key = inp
+        (loss, aux), grads = grad_fn((unet_params, atm_params), micro, key)
+        grads_acc = jax.tree_util.tree_map(lambda a, g: a + g / accum, grads_acc, grads)
+        pred, dice = _metrics_from_logits(spec, aux['logits'], aux['target_onehot'])
+        return (grads_acc, None), (loss, dice, pred)
+
+    zero_grads = jax.tree_util.tree_map(
+        jnp.zeros_like, (unet_params, atm_params))
+    keys = jax.random.split(rng, accum)
+    micro_batches = batch  # leaves already (accum, B, ...)
+    (grads, _), (losses, dices, preds) = jax.lax.scan(
+        scan_body, (zero_grads, None), (micro_batches, keys))
+
+    unet_grads, atm_grads = grads
+
+    # Per-view gradient mask on the stacked ATM params: only the trainable views of
+    # this stage step (replaces requires_grad flipping, reference run_dl.py:116-123).
+    full_mask = np.zeros(spec.n_views, bool)
+    full_mask[:spec.n_active_views] = spec.view_train_mask()
+    mask_arr = jnp.asarray(full_mask)
+
+    def mask_grad(g):
+        m = mask_arr.reshape((spec.n_views,) + (1,) * (g.ndim - 1))
+        return jnp.where(m, g, 0.0)
+
+    atm_grads = jax.tree_util.tree_map(mask_grad, atm_grads)
+
+    unet_updates, recon_opt_state = recon_opt.update(
+        unet_grads, recon_opt_state, unet_params)
+    unet_params = optax.apply_updates(unet_params, unet_updates)
+
+    if bool(full_mask.any()):
+        atm_updates, trans_opt_state = trans_opt.update(
+            atm_grads, trans_opt_state, atm_params)
+        # mask the *updates* too: AdamW's decoupled weight decay must not erode
+        # frozen views' weights (the reference optimizer only ever sees the current
+        # view's params, run_dl.py:125-129)
+        atm_updates = jax.tree_util.tree_map(mask_grad, atm_updates)
+        atm_params = optax.apply_updates(atm_params, atm_updates)
+
+    metrics = {'loss': losses.mean(), 'dice': dices.reshape(-1, dices.shape[-1])}
+    return (unet_params, atm_params, recon_opt_state, trans_opt_state,
+            metrics, preds)
+
+
+@partial(jax.jit, static_argnames=('spec', 'unet', 'atms', 'with_aug'))
+def eval_step(spec: StageSpec, unet, atms, unet_params, atm_params, batch, rng,
+              with_aug=False):
+    """Forward-only step; returns loss, per-class dice, dense predictions, and the
+    view geometry artifacts (thetas, slice affines) for logging/output."""
+    loss, aux = forward(spec, unet, unet_params, atms, atm_params, batch,
+                        rng if with_aug else None, train=False)
+    pred, dice = _metrics_from_logits(spec, aux['logits'], aux['target_onehot'])
+    return {
+        'loss': loss,
+        'dice': dice,
+        'pred': pred,
+        'thetas': aux['thetas'],
+        'grid_affines': aux['grid_affines'],
+        'out_nii_affines': aux['out_nii_affines'],
+        'b_input': aux['b_input'],
+    }

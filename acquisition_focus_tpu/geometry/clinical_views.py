@@ -103,7 +103,11 @@ def min_max_extent_along_axis(mask, direction, volume_diag=None):
 
 
 def _masked(label, class_values):
-    return np.isin(np.asarray(label), np.asarray(list(class_values)))
+    # Sparse-COO semantics of the reference: zero (background) voxels are never
+    # stored, so class filters can never match them even when 0 is in the filter set
+    # (torch_sparse_tensor_utils.py:5-16).
+    label = np.asarray(label)
+    return np.isin(label, np.asarray(list(class_values))) & (label != 0)
 
 
 def _inertia(mask):

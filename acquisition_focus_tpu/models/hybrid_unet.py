@@ -1,0 +1,113 @@
+"""Hybrid 2D-encoder / 3D-decoder U-Net for multi-slice -> volume reconstruction.
+
+TPU-first re-design of the reference model (/root/reference/acquisition_focus/models/
+hybrid_unet.py:9-94, which subclasses nnU-Net's PlainConvUNet and patches its encoder
+to grouped 2D convs): here the architecture is written directly in flax, channels-last
+for TPU conv layouts, with the per-view grouping expressed as feature_group_count.
+
+Skip connections re-embed each 2D feature map into 3D space along the (learned) slice
+affine. The reference zero-fills an S^3 volume, writes the slice at the center plane
+and 3D-grid-samples it (hybrid_unet.py:71-94); we use the collapsed plane-sampling op
+(``ops.resample.sample_slice_into_volume_cl``) — same math, ~8x less memory traffic.
+
+Encoder features per stage: n_views * [16, 32, 64, 128, 256, 256], two convs per
+stage, InstanceNorm(affine) + LeakyReLU, stride-2 downsampling from stage 1 on
+(reference hybrid_unet.py:12-34). Decoder: transposed conv upsampling, skip concat,
+two convs per stage, 1x1x1 segmentation head.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from acquisition_focus_tpu.models.localization import instance_norm
+from acquisition_focus_tpu.ops.affine import affine_zooms, scale_affine_columns
+from acquisition_focus_tpu.ops.resample import sample_slice_into_volume
+
+BASE_FEATURES = (16, 32, 64, 128, 256, 256)
+
+
+def _conv_block_2d(x, features, stride, groups, dtype, name_prefix):
+    x = nn.Conv(features, (3, 3), strides=(stride, stride), padding='SAME',
+                feature_group_count=groups, dtype=dtype, name=f'{name_prefix}_conv')(x)
+    x = instance_norm(x, use_scale=True, use_bias=True, name=f'{name_prefix}_norm')
+    return nn.leaky_relu(x, negative_slope=0.01)
+
+
+def _conv_block_3d(x, features, dtype, name_prefix):
+    x = nn.Conv(features, (3, 3, 3), padding='SAME', dtype=dtype,
+                name=f'{name_prefix}_conv')(x)
+    x = instance_norm(x, use_scale=True, use_bias=True, name=f'{name_prefix}_norm')
+    return nn.leaky_relu(x, negative_slope=0.01)
+
+
+class SkipConnector(nn.Module):
+    """Re-embed grouped 2D features into 3D along per-view slice affines.
+
+    Input (B, S, S, n_views*f) + affines (n_views, B, 4, 4) -> (B, S, S, S, n_views*f).
+    """
+    n_views: int
+
+    @nn.compact
+    def __call__(self, x, grid_affines):
+        B, S, _, C = x.shape
+        f = C // self.n_views
+
+        # Strip the zoom from the forward slicing affine, then invert: samples from
+        # single-slice space back into volume space (reference hybrid_unet.py:80-87).
+        norm_aff = scale_affine_columns(grid_affines, 1.0 / affine_zooms(grid_affines))
+        inv_aff = jnp.linalg.inv(norm_aff.astype(jnp.float32))
+
+        # Channels-first inside the gather: with few channels per view (16..256),
+        # a channels-minor layout pads the lane dimension up to 8x on TPU (observed
+        # 16GB OOM); (C, N)-shaped gathers pad nothing.
+        views = []
+        for v in range(self.n_views):
+            slc = jnp.transpose(x[..., v * f:(v + 1) * f], (0, 3, 1, 2))
+            vol = sample_slice_into_volume(slc, inv_aff[v], S)
+            views.append(jnp.transpose(vol, (0, 2, 3, 4, 1)))
+        return jnp.concatenate(views, axis=-1)
+
+
+class HybridUnet(nn.Module):
+    """(B, n_views*num_classes, S, S) slices + (n_views, B, 4, 4) slice affines
+    -> (B, num_classes, S, S, S) reconstruction logits."""
+    n_views: int
+    num_classes: int
+    base_features: Sequence[int] = BASE_FEATURES
+    dtype: jnp.dtype = jnp.float32
+    remat_skips: bool = True
+
+    @nn.compact
+    def __call__(self, x, grid_affines):
+        V = self.n_views
+        feats = [V * f for f in self.base_features]
+        n_stages = len(feats)
+
+        x = jnp.transpose(x, (0, 2, 3, 1))  # channels-last
+
+        # 2D grouped encoder
+        skips = []
+        for s, f in enumerate(feats):
+            x = _conv_block_2d(x, f, 1 if s == 0 else 2, V, self.dtype, f'enc{s}a')
+            x = _conv_block_2d(x, f, 1, V, self.dtype, f'enc{s}b')
+            skips.append(x)
+
+        # re-embed every skip into 3D (rematerialized in backward, like the
+        # reference's torch.utils.checkpoint around the re-embedding grid sample)
+        connector_cls = nn.remat(SkipConnector) if self.remat_skips else SkipConnector
+        connector = connector_cls(V, name='skip_connector')
+        skips3d = [connector(s_, grid_affines) for s_ in skips]
+
+        # 3D decoder
+        y = skips3d[-1]
+        for s in range(n_stages - 2, -1, -1):
+            y = nn.ConvTranspose(feats[s], (2, 2, 2), strides=(2, 2, 2),
+                                 dtype=self.dtype, name=f'dec{s}_up')(y)
+            y = jnp.concatenate([y, skips3d[s]], axis=-1)
+            y = _conv_block_3d(y, feats[s], self.dtype, f'dec{s}a')
+            y = _conv_block_3d(y, feats[s], self.dtype, f'dec{s}b')
+
+        y = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32, name='seg_head')(y)
+        return jnp.transpose(y, (0, 4, 1, 2, 3))

@@ -6,6 +6,12 @@ designed for XLA on TPU: coordinates are computed as fused broadcasted arithmeti
 values are fetched with flat batched gathers (no scatter into zero volumes, no
 data-dependent shapes).
 
+TPU layout note: gathers whose output minor dimension is the channel count get padded
+to the 128-lane tile by XLA (observed 8-64x HBM padding blow-ups -> OOM at 128^3).
+All gathers here therefore run in (C, B*N) space — batch folded into the gathered
+point axis, channels on sublanes — with 1-D weight/mask vectors; padding waste is
+zero for any channel count.
+
 Semantics match ``torch.nn.functional.affine_grid`` + ``grid_sample`` with
 ``align_corners=False`` and zero padding (the reference's convention,
 /root/reference/acquisition_focus/utils/nifti_utils.py:112-207):
@@ -66,9 +72,20 @@ def _to_vox(s, n):
     return ((s + 1.0) * n - 1.0) / 2.0
 
 
-def _flat_gather(vol_flat, idx):
-    """Batched per-channel gather: vol_flat (B, C, N_in), idx (B, N_out) int32."""
-    return jnp.take_along_axis(vol_flat, idx[:, None, :], axis=2)
+def _global_coords(coords_bn, batch, n_out):
+    """(B, N) per-batch continuous/int coords -> (B*N,) flattened."""
+    return coords_bn.reshape(batch * n_out)
+
+
+def _fold_channels_major(volume_flat):
+    """(B, C, N_in) -> ((C, B*N_in), n_in)."""
+    B, C, n_in = volume_flat.shape
+    return jnp.transpose(volume_flat, (1, 0, 2)).reshape(C, B * n_in), n_in
+
+
+def _batch_offsets(batch, n_in, n_out, dtype=jnp.int32):
+    """(B*N_out,) global gather offsets: sample b's indices address b's subarray."""
+    return jnp.repeat(jnp.arange(batch, dtype=dtype) * n_in, n_out)
 
 
 @partial(jax.jit, static_argnames=('out_dhw', 'mode'))
@@ -89,11 +106,12 @@ def grid_sample(volume, theta, out_dhw, mode='trilinear'):
     cdtype = jnp.float32 if theta.dtype != jnp.float64 else jnp.float64
 
     sx, sy, sz = _sample_points(theta[:, :3, :], out_dhw, cdtype)
-    ix = _to_vox(sx, W).reshape(B, n_out)
-    iy = _to_vox(sy, H).reshape(B, n_out)
-    iz = _to_vox(sz, D).reshape(B, n_out)
+    ix = _to_vox(sx, W).reshape(B * n_out)
+    iy = _to_vox(sy, H).reshape(B * n_out)
+    iz = _to_vox(sz, D).reshape(B * n_out)
 
-    vol_flat = volume.reshape(B, C, D * H * W)
+    flat, n_in = _fold_channels_major(volume.reshape(B, C, D * H * W))
+    base = _batch_offsets(B, n_in, n_out)
 
     if mode == 'nearest':
         xi = jnp.round(ix).astype(jnp.int32)
@@ -103,8 +121,9 @@ def grid_sample(volume, theta, out_dhw, mode='trilinear'):
         xi = jnp.clip(xi, 0, W - 1)
         yi = jnp.clip(yi, 0, H - 1)
         zi = jnp.clip(zi, 0, D - 1)
-        vals = _flat_gather(vol_flat, (zi * H + yi) * W + xi)
-        out = jnp.where(valid[:, None, :], vals, jnp.zeros((), volume.dtype))
+        vals = jnp.take(flat, base + (zi * H + yi) * W + xi, axis=1)  # (C, B*N)
+        out = jnp.where(valid[None, :], vals, jnp.zeros((), volume.dtype))
+        out = jnp.transpose(out.reshape(C, B, n_out), (1, 0, 2))
         return out.reshape(B, C, do, ho, wo)
 
     if mode != 'trilinear':
@@ -120,7 +139,7 @@ def grid_sample(volume, theta, out_dhw, mode='trilinear'):
     y0 = y0.astype(jnp.int32)
     z0 = z0.astype(jnp.int32)
 
-    acc = jnp.zeros((B, C, n_out), dtype=cdtype)
+    acc = jnp.zeros((C, B * n_out), dtype=cdtype)
     for dz in (0, 1):
         wz = fz if dz else (1.0 - fz)
         zi = z0 + dz
@@ -137,10 +156,11 @@ def grid_sample(volume, theta, out_dhw, mode='trilinear'):
                 v = vy & (xi >= 0) & (xi < W)
                 xc = jnp.clip(xi, 0, W - 1)
                 w = jnp.where(v, wz * wy * wx, 0.0)
-                vals = _flat_gather(vol_flat, (zc * H + yc) * W + xc)
-                acc = acc + vals.astype(cdtype) * w[:, None, :]
+                vals = jnp.take(flat, base + (zc * H + yc) * W + xc, axis=1)
+                acc = acc + vals.astype(cdtype) * w[None, :]
 
-    return acc.reshape(B, C, do, ho, wo).astype(volume.dtype)
+    out = jnp.transpose(acc.reshape(C, B, n_out), (1, 0, 2))
+    return out.reshape(B, C, do, ho, wo).astype(volume.dtype)
 
 
 def nifti_grid_sample(volume, nii_affine, target_fov_mm=None, target_fov_vox=None,
@@ -218,9 +238,9 @@ def sample_slice_into_volume(slices, theta, out_spat):
     cdtype = jnp.float32
 
     sx, sy, sz = _sample_points(theta[:, :3, :], (out_spat,) * 3, cdtype)
-    ix = _to_vox(sx, S).reshape(B, n_out)   # W axis: plane position
-    iy = _to_vox(sy, S).reshape(B, n_out)   # H axis: slice dim 3
-    iz = _to_vox(sz, S).reshape(B, n_out)   # D axis: slice dim 2
+    ix = _to_vox(sx, S).reshape(B * n_out)   # W axis: plane position
+    iy = _to_vox(sy, S).reshape(B * n_out)   # H axis: slice dim 3
+    iz = _to_vox(sz, S).reshape(B * n_out)   # D axis: slice dim 2
 
     plane_w = jnp.maximum(0.0, 1.0 - jnp.abs(ix - (S // 2)))
 
@@ -231,8 +251,10 @@ def sample_slice_into_volume(slices, theta, out_spat):
     y0 = y0.astype(jnp.int32)
     z0 = z0.astype(jnp.int32)
 
-    slc_flat = slices.reshape(B, C, S * S)
-    acc = jnp.zeros((B, C, n_out), dtype=cdtype)
+    flat, n_in = _fold_channels_major(slices.reshape(B, C, S * S))
+    base = _batch_offsets(B, n_in, n_out)
+
+    acc = jnp.zeros((C, B * n_out), dtype=cdtype)
     for dz in (0, 1):
         wz = fz if dz else (1.0 - fz)
         zi = z0 + dz
@@ -244,10 +266,11 @@ def sample_slice_into_volume(slices, theta, out_spat):
             v = vz & (yi >= 0) & (yi < S)
             yc = jnp.clip(yi, 0, S - 1)
             w = jnp.where(v, plane_w * wz * wy, 0.0)
-            vals = _flat_gather(slc_flat, zc * S + yc)
-            acc = acc + vals.astype(cdtype) * w[:, None, :]
+            vals = jnp.take(flat, base + zc * S + yc, axis=1)
+            acc = acc + vals.astype(cdtype) * w[None, :]
 
-    return acc.reshape(B, C, out_spat, out_spat, out_spat).astype(slices.dtype)
+    out = jnp.transpose(acc.reshape(C, B, n_out), (1, 0, 2))
+    return out.reshape(B, C, out_spat, out_spat, out_spat).astype(slices.dtype)
 
 
 def crop_around_label_center(label, nii_affine, target_fov_mm, target_fov_vox,

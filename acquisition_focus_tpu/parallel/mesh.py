@@ -1,0 +1,93 @@
+"""Device mesh construction and sharding rules.
+
+The reference is strictly single-GPU (SURVEY.md §2: no distributed backend at all);
+multi-chip execution is a new first-class capability here. The parallelization axes
+native to this workload:
+
+* ``data``  — batch (and grad-accum microbatch) dimension: pure data parallelism,
+  gradients all-reduced by XLA from the jitted update.
+* ``model`` — the *view* dimension: the grouped 2D encoder, the per-view ATMs
+  (stacked params with a leading view axis) and the per-view slice extraction are
+  embarrassingly parallel across views — a natural tensor-parallel axis whose only
+  collective is the skip-concat all-gather, riding ICI.
+
+Shardings are expressed as NamedSharding constraints on inputs and params; XLA's
+SPMD partitioner inserts the collectives.
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape=None, devices=None):
+    """mesh_shape: dict axis->size, e.g. {'data': 4, 'model': 2}; None -> None."""
+    if not mesh_shape:
+        return None
+    devices = devices if devices is not None else jax.devices()
+    sizes = tuple(mesh_shape.values())
+    n = int(np.prod(sizes))
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[:n]).reshape(sizes)
+    return Mesh(dev_array, tuple(mesh_shape.keys()))
+
+
+def batch_shardings(mesh, train=True):
+    """PartitionSpecs for the batch dict. Train batches carry a leading
+    (accum, B, ...) pair — B is the data axis; view_affines carry (accum, V, B, ...)."""
+    if mesh is None:
+        return None
+    v_axis = None  # view affines follow the (replicated) ATM params
+    if train:
+        return {
+            'label': P(None, 'data'),
+            'image': P(None, 'data'),
+            'nii_affine': P(None, 'data'),
+            'view_affines': P(None, v_axis, 'data'),
+        }
+    return {
+        'label': P('data'),
+        'image': P('data'),
+        'nii_affine': P('data'),
+        'view_affines': P(v_axis, 'data'),
+    }
+
+
+def shard_batch(batch, mesh, train=True):
+    if mesh is None:
+        return batch
+    specs = batch_shardings(mesh, train)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in batch.items()
+    }
+
+
+def replicate(tree, mesh):
+    if mesh is None:
+        return tree
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_params(unet_params, atm_params, mesh):
+    """Tensor-parallel sharding of the reconstruction net over the 'model' axis:
+    conv kernels and affine norms split along their output-feature (last) dimension;
+    XLA's SPMD partitioner inserts the matching all-gathers/reduce-scatters over ICI.
+    ATM params stay replicated (their vmapped per-view 1-channel head cannot split).
+    """
+    if mesh is None:
+        return unet_params, atm_params
+    atm_params = replicate(atm_params, mesh)
+    if 'model' not in mesh.axis_names:
+        return replicate(unet_params, mesh), atm_params
+
+    model_size = mesh.shape['model']
+
+    def shard_leaf(x):
+        if x.ndim >= 1 and x.shape[-1] % model_size == 0 and x.shape[-1] > 1:
+            spec = P(*([None] * (x.ndim - 1) + ['model']))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    unet_params = jax.tree_util.tree_map(shard_leaf, unet_params)
+    return unet_params, atm_params

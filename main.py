@@ -1,0 +1,115 @@
+"""CLI orchestrator: config merge, fold construction, dataset build/caching, and the
+per-fold stage sweep.
+
+Capability port of /root/reference/main_acquisition_focus.py:103-191 with the same
+config keys and run flow (``--meta_config_path`` JSON overrides the base config;
+``sweep_type`` 'stage-sweep' runs opt_view{i}->ref per fold).
+"""
+
+import argparse
+import json
+from datetime import datetime
+from pathlib import Path
+
+from acquisition_focus_tpu.data.cache import load_or_build
+from acquisition_focus_tpu.data.mrxcat import get_dataset_class
+from acquisition_focus_tpu.engine.config import DotDict, load_config
+from acquisition_focus_tpu.engine.runner import run_dl
+from acquisition_focus_tpu.engine.stages import get_std_stages
+from acquisition_focus_tpu.utils.logging import get_fold_postfix
+
+
+def build_fold_iter(config, training_dataset):
+    """Fold index lists from data_split.json (reference main:143-170)."""
+    if config['num_folds'] < 1:
+        return [(-1, (list(range(len(training_dataset))), []))]
+
+    fold_iter = []
+    split = training_dataset.data_split
+    for fold_idx in range(config['num_folds']):
+        fold = split['train_folds'][f'fold_{fold_idx}']
+        train_files = [split['train_files'][i] for i in fold['train_idxs']]
+        val_files = [split['train_files'][i] for i in fold['val_idxs']]
+        train_ids = {training_dataset.extract_3d_id(
+            training_dataset.get_file_id(f)[0]) for f in train_files}
+        val_ids = {training_dataset.extract_3d_id(
+            training_dataset.get_file_id(f)[0]) for f in val_files}
+        overlap = train_ids & val_ids
+        assert not overlap, f"Train and val sets overlap: {overlap}"
+        train_idxs = [i for i in training_dataset.switch_3d_identifiers(
+            sorted(train_ids)) if i is not None]
+        val_idxs = [i for i in training_dataset.switch_3d_identifiers(
+            sorted(val_ids)) if i is not None]
+        fold_iter.append((fold_idx, (train_idxs, val_idxs)))
+
+    if config.get('fold_override') is not None:
+        k = config['fold_override']
+        fold_iter = fold_iter[k:k + 1]
+    return fold_iter
+
+
+def stage_sweep_run(base_dir, run_name, config, fold_properties, stages,
+                    training_dataset, test_dataset, run_test_once_only):
+    for stage in stages:
+        stage_id = stages.current_key
+        stage.activate()
+        stage_config = DotDict(config.copy())
+        stage_config.update(
+            {k: stage[k] for k in set(stage) & set(stage_config)} |
+            {k: stage[k] for k in ('n_active_views', 'transform_model_checkpoint_path',
+                                   'save_path') if k in stage})
+        stage_run_name = f"{run_name}_stage-{stage_id}"
+        print(f"Running {stage_run_name}")
+        run_dl(base_dir, stage_config, fold_properties, stage=stage,
+               training_dataset=training_dataset, test_dataset=test_dataset,
+               run_test_once_only=run_test_once_only, run_name=stage_run_name)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--meta_config_path', type=str, default=None)
+    parser.add_argument('--config_path', type=str, default=None,
+                        help='base config json (defaults to built-in DEFAULTS)')
+    parser.add_argument('--base_dir', type=str, default='.')
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config_path, args.meta_config_path)
+    run_test_once_only = bool(config.get('test_only_and_output_to'))
+
+    dataset_name, dataset_dir = config['dataset']
+    dataset_cls = get_dataset_class(dataset_name)
+
+    training_dataset = load_or_build(
+        dataset_cls, dataset_dir, config,
+        state='empty' if run_test_once_only else 'train',
+        debug=config.get('debug', False))
+    test_dataset = load_or_build(
+        dataset_cls, dataset_dir, config, state='test',
+        debug=config.get('debug', False))
+
+    fold_iter = build_fold_iter(config, training_dataset) \
+        if not run_test_once_only else [(0, ([], []))]
+
+    now = datetime.now().strftime('%Y%m%d__%H_%M_%S')
+    run_name = f"{now}_tpu"
+
+    for fold_properties in fold_iter:
+        fold_run_name = f"{run_name}_{get_fold_postfix(fold_properties)}"
+        if config.get('sweep_type') is None:
+            run_dl(args.base_dir, config, fold_properties,
+                   training_dataset=training_dataset, test_dataset=test_dataset,
+                   run_test_once_only=run_test_once_only, run_name=fold_run_name)
+        elif config['sweep_type'] == 'stage-sweep':
+            stages = get_std_stages(config)
+            stage_sweep_run(args.base_dir, fold_run_name, config, fold_properties,
+                            stages, training_dataset, test_dataset,
+                            run_test_once_only)
+        else:
+            raise ValueError(config['sweep_type'])
+
+        if config.get('debug') or run_test_once_only:
+            break
+
+
+if __name__ == '__main__':
+    main()

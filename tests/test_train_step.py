@@ -1,0 +1,122 @@
+"""End-to-end jitted train/eval step tests on tiny shapes, incl. the stage-sweep
+trainability invariants (frozen views must not move)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from acquisition_focus_tpu.engine.optimizers import (
+    make_reconstruction_optimizer, make_transform_optimizer)
+from acquisition_focus_tpu.engine.train import (
+    StageSpec, eval_step, init_params, make_models, train_step)
+
+
+def tiny_spec(**kw):
+    defaults = dict(
+        n_views=2, num_classes=3, n_active_views=2,
+        view_optimization_mode='opt-all', use_affine_theta=True,
+        hires_fov_mm=(48.0, 48.0, 48.0), hires_fov_vox=(32, 32, 32),
+        slice_fov_mm=(48.0, 48.0, 1.5), slice_fov_vox=(32, 32, 1),
+        prescan_fov_mm=(48.0, 48.0, 48.0), prescan_fov_vox=(32, 32, 32),
+        num_grad_accum_steps=2, compute_dtype='float32',
+        augment_input=True,
+    )
+    defaults.update(kw)
+    return StageSpec(**defaults)
+
+
+def tiny_batch(spec, accum, B, rng):
+    S = spec.hires_fov_vox[0]
+    label = rng.integers(0, spec.num_classes, size=(accum, B, S, S, S)).astype(np.int32)
+    nii = np.broadcast_to(np.diag([1.5, 1.5, 1.5, 1.0]), (accum, B, 4, 4))
+    views = np.broadcast_to(np.eye(4), (accum, spec.n_views, B, 4, 4))
+    return {
+        'label': jnp.asarray(label),
+        'nii_affine': jnp.asarray(nii, jnp.float32),
+        'view_affines': jnp.asarray(views, jnp.float32),
+    }
+
+
+def flat_norm(tree):
+    return float(sum(jnp.abs(l).sum() for l in jax.tree_util.tree_leaves(tree)))
+
+
+class TestTrainStep:
+    def _setup(self, spec, B=1):
+        unet, atms = make_models(spec)
+        up, ap = init_params(spec, jax.random.key(0), batch_size=B)
+        r_opt = make_reconstruction_optimizer(1e-3, updates_per_epoch=2)
+        t_opt = make_transform_optimizer(1e-3, epochs=8, updates_per_epoch=2)
+        r_state = r_opt.init(up)
+        t_state = t_opt.init(ap)
+        return unet, atms, up, ap, r_opt, t_opt, r_state, t_state
+
+    def test_loss_decreases(self, rng):
+        spec = tiny_spec()
+        unet, atms, up, ap, r_opt, t_opt, r_state, t_state = self._setup(spec)
+        batch = tiny_batch(spec, spec.num_grad_accum_steps, 1, rng)
+        losses = []
+        for i in range(6):
+            up, ap, r_state, t_state, metrics, _ = train_step(
+                spec, unet, atms, r_opt, t_opt, up, ap, r_state, t_state,
+                batch, jax.random.key(i))
+            losses.append(float(metrics['loss']))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+    def test_frozen_views_do_not_move(self, rng):
+        spec = tiny_spec(view_optimization_mode='opt-current-fix-previous')
+        unet, atms, up, ap, r_opt, t_opt, r_state, t_state = self._setup(spec)
+        batch = tiny_batch(spec, spec.num_grad_accum_steps, 1, rng)
+        ap0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), ap)
+        for i in range(2):
+            up, ap, r_state, t_state, _, _ = train_step(
+                spec, unet, atms, r_opt, t_opt, up, ap, r_state, t_state,
+                batch, jax.random.key(i))
+        moved, frozen = [], []
+        for old, new in zip(jax.tree_util.tree_leaves(ap0),
+                            jax.tree_util.tree_leaves(ap)):
+            new = np.asarray(new)
+            frozen.append(np.abs(new[0] - old[0]).max())   # view 0 frozen
+            moved.append(np.abs(new[-1] - old[-1]).max())  # last view = current
+        assert max(frozen) == 0.0, f"frozen view moved by {max(frozen)}"
+        assert max(moved) > 0.0, "current view did not move"
+
+    def test_opt_none_keeps_all_atms(self, rng):
+        spec = tiny_spec(view_optimization_mode='opt-none', use_affine_theta=False)
+        unet, atms, up, ap, r_opt, t_opt, r_state, t_state = self._setup(spec)
+        batch = tiny_batch(spec, spec.num_grad_accum_steps, 1, rng)
+        ap_before = flat_norm(ap)
+        up2, ap2, *_ = train_step(
+            spec, unet, atms, r_opt, t_opt, up, ap, r_state, t_state,
+            batch, jax.random.key(0))
+        assert flat_norm(ap2) == ap_before
+        assert flat_norm(up2) != flat_norm(up)  # recon still trains
+
+    def test_partial_active_views_duplicate(self, rng):
+        # stage 0 of a 3-view sweep: only 1 active view, input duplicated
+        spec = tiny_spec(n_views=3, n_active_views=1,
+                         view_optimization_mode='opt-current-fix-previous')
+        unet, atms, up, ap, r_opt, t_opt, r_state, t_state = self._setup(spec)
+        batch = tiny_batch(spec, spec.num_grad_accum_steps, 1, rng)
+        up, ap, r_state, t_state, metrics, _ = train_step(
+            spec, unet, atms, r_opt, t_opt, up, ap, r_state, t_state,
+            batch, jax.random.key(0))
+        assert np.isfinite(float(metrics['loss']))
+
+
+class TestEvalStep:
+    def test_eval_outputs(self, rng):
+        spec = tiny_spec()
+        unet, atms = make_models(spec)
+        up, ap = init_params(spec, jax.random.key(0))
+        batch = tiny_batch(spec, 1, 1, rng)
+        micro = jax.tree_util.tree_map(lambda x: x[0], batch)
+        out = eval_step(spec, unet, atms, up, ap, micro, jax.random.key(0),
+                        with_aug=False)
+        S = spec.hires_fov_vox[0]
+        assert out['pred'].shape == (1, S, S, S)
+        assert out['thetas'].shape == (spec.n_active_views, 1, 4, 4)
+        assert np.isfinite(float(out['loss']))
+        # dice shape (B, C)
+        assert out['dice'].shape == (1, spec.num_classes)
