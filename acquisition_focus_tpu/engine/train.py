@@ -134,17 +134,17 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
             offset_strength=0.0)
         view_affines = compose(view_affines, aug[None])
 
-    nii_tiled = jnp.broadcast_to(nii_affine[None], (A,) + nii_affine.shape)
-    soft_tiled = jnp.broadcast_to(soft_label[None], (A,) + soft_label.shape)
-
     if spec.use_affine_theta:
         # 1) no-grad resample of the soft label into each view's prescan frame —
-        #    the localization net input (reference learnable_transform.py:248-255)
+        #    the localization net input (reference learnable_transform.py:248-255).
+        #    All A view affines share the (never duplicated) volume; the gather runs
+        #    in the compute dtype — this input only feeds the (bf16) localization
+        #    convs under stop_gradient.
         prescan, _, _ = nifti_grid_sample(
-            _fold(soft_tiled), _fold(nii_tiled),
+            soft_label.astype(spec.dtype), nii_affine,
             jnp.asarray(spec.prescan_fov_mm), spec.prescan_fov_vox,
             is_label=False, pre_grid_sample_affine=_fold(view_affines))
-        prescan = jax.lax.stop_gradient(prescan)
+        prescan = jax.lax.stop_gradient(prescan).astype(jnp.float32)
         P = spec.prescan_fov_vox
         prescan = jnp.transpose(prescan, (0, 2, 3, 4, 1)).reshape(
             (A, B) + tuple(P) + (C,))
@@ -166,7 +166,7 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
     # 3) differentiable slicing of the soft label along view_affine @ theta
     pre = compose(view_affines, thetas)
     slices, grid_affines, out_nii = nifti_grid_sample(
-        _fold(soft_tiled), _fold(nii_tiled),
+        soft_label, nii_affine,
         jnp.asarray(spec.slice_fov_mm), spec.slice_fov_vox,
         is_label=False, pre_grid_sample_affine=_fold(pre))
 

@@ -8,7 +8,8 @@ for TPU conv layouts, with the per-view grouping expressed as feature_group_coun
 Skip connections re-embed each 2D feature map into 3D space along the (learned) slice
 affine. The reference zero-fills an S^3 volume, writes the slice at the center plane
 and 3D-grid-samples it (hybrid_unet.py:71-94); we use the collapsed plane-sampling op
-(``ops.resample.sample_slice_into_volume_cl``) — same math, ~8x less memory traffic.
+(``ops.resample.sample_slice_into_volume``, or its Pallas slab-skipping MXU kernel on
+TPU) — same math, ~8x less memory traffic, measured 3.4x faster full fwd+bwd.
 
 Encoder features per stage: n_views * [16, 32, 64, 128, 256, 256], two convs per
 stage, InstanceNorm(affine) + LeakyReLU, stride-2 downsampling from stage 1 on
@@ -21,8 +22,11 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from acquisition_focus_tpu.models.localization import instance_norm
 from acquisition_focus_tpu.ops.affine import affine_zooms, scale_affine_columns
+from acquisition_focus_tpu.ops.pallas.plane_resample import plane_resample_pallas
 from acquisition_focus_tpu.ops.resample import sample_slice_into_volume
 
 BASE_FEATURES = (16, 32, 64, 128, 256, 256)
@@ -48,6 +52,7 @@ class SkipConnector(nn.Module):
     Input (B, S, S, n_views*f) + affines (n_views, B, 4, 4) -> (B, S, S, S, n_views*f).
     """
     n_views: int
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, grid_affines):
@@ -61,11 +66,14 @@ class SkipConnector(nn.Module):
 
         # Channels-first inside the gather: with few channels per view (16..256),
         # a channels-minor layout pads the lane dimension up to 8x on TPU (observed
-        # 16GB OOM); (C, N)-shaped gathers pad nothing.
+        # 16GB OOM); (C, N)-shaped gathers pad nothing. On TPU the Pallas
+        # slab-skipping MXU kernel replaces the XLA gather (3-6x faster).
+        on_tpu = self.use_pallas and jax.default_backend() == 'tpu'
+        resample = plane_resample_pallas if on_tpu else sample_slice_into_volume
         views = []
         for v in range(self.n_views):
             slc = jnp.transpose(x[..., v * f:(v + 1) * f], (0, 3, 1, 2))
-            vol = sample_slice_into_volume(slc, inv_aff[v], S)
+            vol = resample(slc, inv_aff[v], S)
             views.append(jnp.transpose(vol, (0, 2, 3, 4, 1)))
         return jnp.concatenate(views, axis=-1)
 
@@ -78,6 +86,7 @@ class HybridUnet(nn.Module):
     base_features: Sequence[int] = BASE_FEATURES
     dtype: jnp.dtype = jnp.float32
     remat_skips: bool = True
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, grid_affines):
@@ -97,7 +106,7 @@ class HybridUnet(nn.Module):
         # re-embed every skip into 3D (rematerialized in backward, like the
         # reference's torch.utils.checkpoint around the re-embedding grid sample)
         connector_cls = nn.remat(SkipConnector) if self.remat_skips else SkipConnector
-        connector = connector_cls(V, name='skip_connector')
+        connector = connector_cls(V, use_pallas=self.use_pallas, name='skip_connector')
         skips3d = [connector(s_, grid_affines) for s_ in skips]
 
         # 3D decoder

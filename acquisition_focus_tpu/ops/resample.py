@@ -83,9 +83,11 @@ def _fold_channels_major(volume_flat):
     return jnp.transpose(volume_flat, (1, 0, 2)).reshape(C, B * n_in), n_in
 
 
-def _batch_offsets(batch, n_in, n_out, dtype=jnp.int32):
-    """(B*N_out,) global gather offsets: sample b's indices address b's subarray."""
-    return jnp.repeat(jnp.arange(batch, dtype=dtype) * n_in, n_out)
+def _batch_offsets(n_theta, n_batch, n_in, n_out, dtype=jnp.int32):
+    """(n_theta*N_out,) global gather offsets. When several affines share one
+    volume (n_theta = M * n_batch), point-row m samples volume m % n_batch."""
+    batch_ids = jnp.arange(n_theta, dtype=dtype) % n_batch
+    return jnp.repeat(batch_ids * n_in, n_out)
 
 
 @partial(jax.jit, static_argnames=('out_dhw', 'mode'))
@@ -94,24 +96,29 @@ def grid_sample(volume, theta, out_dhw, mode='trilinear'):
 
     Args:
       volume: (B, C, D, H, W).
-      theta: (B, 4, 4) or (B, 3, 4) grid-space affine (rows beyond 3 ignored).
+      theta: (T, 4, 4) or (T, 3, 4) grid-space affines, T a multiple of B. When
+        T = M * B (several affines sharing one volume, e.g. per-view resamples of
+        the same label volume), affine row t samples volume t % B — the volume is
+        never duplicated.
       out_dhw: static (Do, Ho, Wo).
       mode: 'trilinear' | 'nearest'.
 
-    Returns: (B, C, Do, Ho, Wo), dtype of ``volume``.
+    Returns: (T, C, Do, Ho, Wo), dtype of ``volume``.
     """
     B, C, D, H, W = volume.shape
+    T = theta.shape[0]
+    assert T % B == 0
     do, ho, wo = out_dhw
     n_out = do * ho * wo
     cdtype = jnp.float32 if theta.dtype != jnp.float64 else jnp.float64
 
     sx, sy, sz = _sample_points(theta[:, :3, :], out_dhw, cdtype)
-    ix = _to_vox(sx, W).reshape(B * n_out)
-    iy = _to_vox(sy, H).reshape(B * n_out)
-    iz = _to_vox(sz, D).reshape(B * n_out)
+    ix = _to_vox(sx, W).reshape(T * n_out)
+    iy = _to_vox(sy, H).reshape(T * n_out)
+    iz = _to_vox(sz, D).reshape(T * n_out)
 
     flat, n_in = _fold_channels_major(volume.reshape(B, C, D * H * W))
-    base = _batch_offsets(B, n_in, n_out)
+    base = _batch_offsets(T, B, n_in, n_out)
 
     if mode == 'nearest':
         xi = jnp.round(ix).astype(jnp.int32)
@@ -121,10 +128,10 @@ def grid_sample(volume, theta, out_dhw, mode='trilinear'):
         xi = jnp.clip(xi, 0, W - 1)
         yi = jnp.clip(yi, 0, H - 1)
         zi = jnp.clip(zi, 0, D - 1)
-        vals = jnp.take(flat, base + (zi * H + yi) * W + xi, axis=1)  # (C, B*N)
+        vals = jnp.take(flat, base + (zi * H + yi) * W + xi, axis=1)  # (C, T*N)
         out = jnp.where(valid[None, :], vals, jnp.zeros((), volume.dtype))
-        out = jnp.transpose(out.reshape(C, B, n_out), (1, 0, 2))
-        return out.reshape(B, C, do, ho, wo)
+        out = jnp.transpose(out.reshape(C, T, n_out), (1, 0, 2))
+        return out.reshape(T, C, do, ho, wo)
 
     if mode != 'trilinear':
         raise ValueError(f"unknown mode {mode!r}")
@@ -139,28 +146,67 @@ def grid_sample(volume, theta, out_dhw, mode='trilinear'):
     y0 = y0.astype(jnp.int32)
     z0 = z0.astype(jnp.int32)
 
-    acc = jnp.zeros((C, B * n_out), dtype=cdtype)
-    for dz in (0, 1):
-        wz = fz if dz else (1.0 - fz)
-        zi = z0 + dz
-        vz = (zi >= 0) & (zi < D)
-        zc = jnp.clip(zi, 0, D - 1)
-        for dy in (0, 1):
-            wy = fy if dy else (1.0 - fy)
-            yi = y0 + dy
-            vy = vz & (yi >= 0) & (yi < H)
-            yc = jnp.clip(yi, 0, H - 1)
-            for dx in (0, 1):
-                wx = fx if dx else (1.0 - fx)
-                xi = x0 + dx
-                v = vy & (xi >= 0) & (xi < W)
-                xc = jnp.clip(xi, 0, W - 1)
-                w = jnp.where(v, wz * wy * wx, 0.0)
-                vals = jnp.take(flat, base + (zc * H + yc) * W + xc, axis=1)
-                acc = acc + vals.astype(cdtype) * w[None, :]
+    def axis_weight(i0, f, n, base_i, delta):
+        """Weight of the cell corner at base_i + delta for a point whose true
+        corners are i0 (weight 1-f) and i0+1 (weight f), zero outside [0, n)."""
+        j = base_i + delta
+        w_lo = jnp.where((j == i0) & (i0 >= 0) & (i0 <= n - 1), 1.0 - f, 0.0)
+        w_hi = jnp.where((j == i0 + 1) & (i0 + 1 >= 0) & (i0 + 1 <= n - 1), f, 0.0)
+        return w_lo + w_hi
 
-    out = jnp.transpose(acc.reshape(C, B, n_out), (1, 0, 2))
-    return out.reshape(B, C, do, ho, wo).astype(volume.dtype)
+    if C <= 8:
+        # TPU gathers cost ~constant time per ROW regardless of width (measured:
+        # 6-channel rows price like 1-channel). Fetch all 8 trilinear corners of a
+        # point as one wide row from a shifted-stack operand: 1 gather instead of 8.
+        padded = jnp.pad(volume, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 1)),
+                         mode='edge')
+        cells = jnp.stack(
+            [padded[:, :, dz:dz + D, dy:dy + H, dx:dx + W]
+             for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+            axis=1)  # (B, 8, C, D, H, W)
+        op = jnp.transpose(cells.reshape(B, 8 * C, D * H * W),
+                           (1, 0, 2)).reshape(8 * C, B * (D * H * W))
+
+        # clamp the cell base so {base, base+1} always covers the in-range corners
+        bz = jnp.clip(z0, 0, max(D - 2, 0))
+        by = jnp.clip(y0, 0, max(H - 2, 0))
+        bx = jnp.clip(x0, 0, max(W - 2, 0))
+        rows = jnp.take(op, base + (bz * H + by) * W + bx, axis=1)  # (8C, T*N)
+
+        acc = jnp.zeros((C, T * n_out), dtype=cdtype)
+        k = 0
+        for dz in (0, 1):
+            wz = axis_weight(z0, fz, D, bz, dz)
+            for dy in (0, 1):
+                wy = axis_weight(y0, fy, H, by, dy)
+                for dx in (0, 1):
+                    wx = axis_weight(x0, fx, W, bx, dx)
+                    w = (wz * wy * wx)[None, :]
+                    acc = acc + rows[k * C:(k + 1) * C].astype(cdtype) * w
+                    k += 1
+    else:
+        acc = jnp.zeros((C, T * n_out), dtype=cdtype)
+        for dz in (0, 1):
+            wz = fz if dz else (1.0 - fz)
+            zi = z0 + dz
+            vz = (zi >= 0) & (zi < D)
+            zc = jnp.clip(zi, 0, D - 1)
+            for dy in (0, 1):
+                wy = fy if dy else (1.0 - fy)
+                yi = y0 + dy
+                vy = vz & (yi >= 0) & (yi < H)
+                yc = jnp.clip(yi, 0, H - 1)
+                for dx in (0, 1):
+                    wx = fx if dx else (1.0 - fx)
+                    xi = x0 + dx
+                    v = vy & (xi >= 0) & (xi < W)
+                    xc = jnp.clip(xi, 0, W - 1)
+                    w = jnp.where(v, wz * wy * wx, 0.0)
+                    vals = jnp.take(flat, base + (zc * H + yc) * W + xc, axis=1)
+                    acc = acc + vals.astype(cdtype) * w[None, :]
+
+    out = jnp.transpose(acc.reshape(C, T, n_out), (1, 0, 2))
+    return out.reshape(T, C, do, ho, wo).astype(volume.dtype)
 
 
 def nifti_grid_sample(volume, nii_affine, target_fov_mm=None, target_fov_vox=None,
@@ -178,10 +224,11 @@ def nifti_grid_sample(volume, nii_affine, target_fov_mm=None, target_fov_vox=Non
       target_fov_vox: static (3,) ints; default keeps input shape.
       is_label: nearest sampling if True, else trilinear with min-shift so that
         zero-padding pads with the volume minimum (reference nifti_utils.py:194-203).
-      pre_grid_sample_affine: optional (B, 4, 4) grid-space affine.
+      pre_grid_sample_affine: optional (T, 4, 4) grid-space affines, T a multiple
+        of B: several affines may share one volume (see grid_sample).
 
-    Returns: (resampled (B, C, *target_fov_vox), grid_affine (B, 4, 4),
-              out_nii_affine (B, 4, 4)).
+    Returns: (resampled (T, C, *target_fov_vox), grid_affine (T, 4, 4),
+              out_nii_affine (T, 4, 4)).
 
     Parity: ``nifti_grid_sample`` (reference nifti_utils.py:112-207).
     """
@@ -195,8 +242,16 @@ def nifti_grid_sample(volume, nii_affine, target_fov_mm=None, target_fov_vox=Non
         from acquisition_focus_tpu.ops.affine import affine_zooms
         target_fov_mm = affine_zooms(nii_affine) * jnp.asarray(in_shape, nii_affine.dtype)
 
+    affine_nii = nii_affine
+    if pre_grid_sample_affine is not None \
+            and pre_grid_sample_affine.shape[0] != nii_affine.shape[0]:
+        reps = pre_grid_sample_affine.shape[0] // nii_affine.shape[0]
+        affine_nii = jnp.tile(nii_affine, (reps, 1, 1))
+        if hasattr(target_fov_mm, 'ndim') and getattr(target_fov_mm, 'ndim', 1) > 1:
+            target_fov_mm = jnp.tile(target_fov_mm, (reps, 1))
+
     grid_affine, out_nii = grid_affines_for_fov(
-        nii_affine, in_shape, target_fov_mm, jnp.asarray(target_fov_vox),
+        affine_nii, in_shape, target_fov_mm, jnp.asarray(target_fov_vox),
         pre_grid_sample_affine)
 
     in_dtype = volume.dtype
@@ -252,7 +307,7 @@ def sample_slice_into_volume(slices, theta, out_spat):
     z0 = z0.astype(jnp.int32)
 
     flat, n_in = _fold_channels_major(slices.reshape(B, C, S * S))
-    base = _batch_offsets(B, n_in, n_out)
+    base = _batch_offsets(B, B, n_in, n_out)
 
     acc = jnp.zeros((C, B * n_out), dtype=cdtype)
     for dz in (0, 1):
