@@ -47,6 +47,9 @@ def spec_from_config(config, num_classes, n_active_views, phase='train'):
         optim_method=config['affine_theta_optim_method'],
         offset_clip_value=config['offset_clip_value'],
         zoom_clip_value=config['zoom_clip_value'],
+        rotate_slice_to_min_principle=config.get(
+            'rotate_slice_to_min_principle', False),
+        label_slice_type=config.get('label_slice_type', 'from-gt'),
         augment_input=config.get('do_augment_input_orientation', True) and aug_on,
         augment_recon=config.get('do_augment_recon_orientation', False) and aug_on,
         augment_strength=config.get('sample_augment_strength', 1.0),
@@ -113,8 +116,13 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
     B = config['batch_size']
     accum = config['num_grad_accum_steps']
     updates_per_epoch = max(1, len(train_idxs) // (B * accum))
-    recon_opt = make_reconstruction_optimizer(
-        config['lr'], updates_per_epoch, config.get('use_scheduling', True))
+    if config.get('model_type') in ('hybrid-EPix2Vox', 'hybrid-Pix2Vox'):
+        from acquisition_focus_tpu.engine.optimizers import make_epix2vox_optimizer
+        recon_opt = make_epix2vox_optimizer(
+            updates_per_epoch, config.get('use_scheduling', True))
+    else:
+        recon_opt = make_reconstruction_optimizer(
+            config['lr'], updates_per_epoch, config.get('use_scheduling', True))
     trans_opt = make_transform_optimizer(
         config['lr'], config['epochs'], updates_per_epoch,
         config.get('use_scheduling', True))
@@ -214,10 +222,27 @@ def _log_phase(logger, config, phase, loss, label_scores, global_idx):
     logger.log_oa_metrics(f'scores/{phase}_std_oa_exclude_bg', std_oa, global_idx)
 
 
+def _load_segmenter(config, num_classes):
+    """Frozen prescan/slice segmenter for from-segmented modes; None without a
+    configured checkpoint (all from-gt configs)."""
+    path = config.get('segment_model_path')
+    if not path or config.get('label_slice_type') != 'from-segmented':
+        return None, None
+    from acquisition_focus_tpu.engine.checkpoint import (
+        checkpoint_exists as _ck, load_checkpoint as _lc)
+    if not _ck(path):
+        print(f"warning: from-segmented configured but no checkpoint at {path}")
+        return None, None
+    from acquisition_focus_tpu.models.segmentation.unet2d import SegUnet2D
+    state = _lc(path)
+    return SegUnet2D(num_classes=num_classes), state['params']
+
+
 def _eval_phase(phase, spec, unet, atms, unet_params, atm_params, dataset, idxs,
                 config, logger, global_idx, epx, out_dir=None):
     if dataset is None or len(dataset) == 0:
         return float('nan')
+    seg_model, seg_params = _load_segmenter(config, len(dataset.label_tags))
     scores = {}
     losses = []
     heavy = _heavy_metric_epoch(config, epx)
@@ -231,7 +256,8 @@ def _eval_phase(phase, spec, unet, atms, unet_params, atm_params, dataset, idxs,
         with_aug = (phase in config.get('aug_phases', []) and
                     config.get('do_augment_input_orientation', False))
         out = eval_step(spec, unet, atms, unet_params, atm_params,
-                        _to_device(batch), rng, with_aug=with_aug)
+                        _to_device(batch), rng, with_aug=with_aug,
+                        seg_model=seg_model, seg_params=seg_params)
         losses.append(float(out['loss']))
         accumulate_label_scores(scores, 'dice', np.asarray(out['dice']), eval_tags)
 

@@ -52,6 +52,8 @@ class StageSpec:
     optim_method: str = 'R6-vector'
     offset_clip_value: float = 0.2
     zoom_clip_value: float = 0.0
+    rotate_slice_to_min_principle: bool = False
+    label_slice_type: str = 'from-gt'
     augment_input: bool = True
     augment_recon: bool = False
     augment_strength: float = 1.0
@@ -76,8 +78,14 @@ class StageSpec:
 
 
 def make_models(spec: StageSpec):
-    unet = HybridUnet(n_views=spec.n_views, num_classes=spec.num_classes,
-                      dtype=spec.dtype)
+    if spec.model_type in ('hybrid-EPix2Vox', 'hybrid-Pix2Vox'):
+        from acquisition_focus_tpu.models.epix2vox import EPix2VoxModel128
+        recon = EPix2VoxModel128(n_views=spec.n_views,
+                                 use_epix2vox=spec.model_type == 'hybrid-EPix2Vox')
+    else:
+        recon = HybridUnet(n_views=spec.n_views, num_classes=spec.num_classes,
+                           dtype=spec.dtype)
+    unet = recon
     atms = StackedATMs(
         n_views=spec.n_views, optim_method=spec.optim_method,
         prescan_spat=spec.prescan_fov_vox[0],
@@ -91,9 +99,13 @@ def init_params(spec: StageSpec, rng_key, batch_size=1):
     k1, k2 = jax.random.split(rng_key)
     S = spec.hires_fov_vox[0]
     P = spec.prescan_fov_vox[0]
-    x = jnp.zeros((batch_size, spec.n_views * spec.num_classes, S, S))
-    affs = jnp.broadcast_to(jnp.eye(4), (spec.n_views, batch_size, 4, 4))
-    unet_params = unet.init(k1, x, affs)
+    if spec.model_type in ('hybrid-EPix2Vox', 'hybrid-Pix2Vox'):
+        views = jnp.zeros((batch_size, spec.n_views, 224, 224, 3))
+        unet_params = unet.init(k1, views)
+    else:
+        x = jnp.zeros((batch_size, spec.n_views * spec.num_classes, S, S))
+        affs = jnp.broadcast_to(jnp.eye(4), (spec.n_views, batch_size, 4, 4))
+        unet_params = unet.init(k1, x, affs)
     xp = jnp.zeros((spec.n_views, batch_size, P, P, P, spec.num_classes))
     atm_params = atms.init(k2, xp)
     return unet_params, atm_params
@@ -109,7 +121,7 @@ def _active_atm_params(atm_params, n_active):
 
 
 def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affine,
-                        view_affines, augment_rng=None):
+                        view_affines, augment_rng=None, image=None):
     """Produce per-view model-input slices along learned view planes.
 
     Args:
@@ -170,6 +182,19 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
         jnp.asarray(spec.slice_fov_mm), spec.slice_fov_vox,
         is_label=False, pre_grid_sample_affine=_fold(pre))
 
+    if spec.rotate_slice_to_min_principle:
+        # constrain the output by aligning each slice's in-plane min-inertia axis
+        # (reference learnable_transform.py:315-333,337-366)
+        from acquisition_focus_tpu.geometry.moments import (
+            slice_min_principal_align_affines)
+        slice_lbl = jnp.argmax(slices, axis=1)
+        align = jax.lax.stop_gradient(
+            slice_min_principal_align_affines(slice_lbl)).astype(jnp.float32)
+        slices, _, out_nii = nifti_grid_sample(
+            slices, out_nii.astype(jnp.float32),
+            is_label=False, pre_grid_sample_affine=align)
+        grid_affines = compose(grid_affines, align)
+
     Sh, Sw = spec.slice_fov_vox[0], spec.slice_fov_vox[1]
     slices = slices.reshape(A, B, C, Sh, Sw, spec.slice_fov_vox[2])[..., 0]
     if (Sh, Sw) != tuple(spec.hires_fov_vox[:2]):
@@ -180,7 +205,18 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
 
     grid_affines = grid_affines.reshape(A, B, 4, 4)
     out_nii = out_nii.reshape(A, B, 4, 4)
-    return slices, grid_affines, out_nii, thetas
+
+    image_slices = None
+    if image is not None:
+        img_slc, _, _ = nifti_grid_sample(
+            jax.lax.stop_gradient(image)[:, None], nii_affine,
+            jnp.asarray(spec.slice_fov_mm), spec.slice_fov_vox,
+            is_label=False,
+            pre_grid_sample_affine=jax.lax.stop_gradient(_fold(pre)))
+        image_slices = img_slc.reshape(
+            A, B, 1, spec.slice_fov_vox[0], spec.slice_fov_vox[1])
+
+    return slices, grid_affines, out_nii, thetas, image_slices
 
 
 def assemble_model_input(spec: StageSpec, slices, grid_affines, augment_rng=None):
@@ -205,8 +241,12 @@ def assemble_model_input(spec: StageSpec, slices, grid_affines, augment_rng=None
 
 
 def forward(spec: StageSpec, unet, unet_params, atms, atm_params, batch, rng,
-            train: bool):
-    """Full forward: volumes -> view slices -> reconstruction -> loss."""
+            train: bool, seg_model=None, seg_params=None):
+    """Full forward: volumes -> view slices -> reconstruction -> loss.
+
+    When ``spec.label_slice_type == 'from-segmented'`` and a frozen segmenter is
+    given, validation/test slices come from segmenting the *image* slice instead of
+    the ground-truth label slice (reference run_dl.py:170-188)."""
     label = batch['label']              # (B, D, H, W) int
     nii_affine = batch['nii_affine']    # (B, 4, 4)
     view_affines = batch['view_affines'][:spec.n_active_views]  # (A, B, 4, 4)
@@ -221,12 +261,35 @@ def forward(spec: StageSpec, unet, unet_params, atms, atm_params, batch, rng,
         aug_in = k_in if spec.augment_input else None
         aug_recon = k_re if spec.augment_recon else None
 
-    slices, grid_affines, out_nii, thetas = extract_view_slices(
-        spec, atms, atm_params, soft_label, nii_affine, view_affines, aug_in)
+    use_segmenter = (spec.label_slice_type == 'from-segmented' and not train
+                     and seg_model is not None)
+    slices, grid_affines, out_nii, thetas, image_slices = extract_view_slices(
+        spec, atms, atm_params, soft_label, nii_affine, view_affines, aug_in,
+        image=batch.get('image') if use_segmenter else None)
+
+    if use_segmenter:
+        A, B = slices.shape[0], slices.shape[1]
+        Sh, Sw = slices.shape[3], slices.shape[4]
+        x = image_slices.reshape(A * B, 1, Sh, Sw)
+        x = (x - x.mean()) / jnp.maximum(x.std(), 1e-8)
+        seg_logits = seg_model.apply(seg_params, jnp.transpose(x, (0, 2, 3, 1)))
+        pred = jnp.argmax(seg_logits, axis=-1)          # (A*B, Sh, Sw)
+        slices = jnp.transpose(
+            jax.nn.one_hot(pred, spec.num_classes, dtype=jnp.float32),
+            (0, 3, 1, 2)).reshape(A, B, spec.num_classes, Sh, Sw)
     b_input, grid_affines_full = assemble_model_input(
         spec, slices, grid_affines, aug_recon)
 
-    logits = unet.apply(unet_params, b_input, grid_affines_full)
+    if spec.model_type in ('hybrid-EPix2Vox', 'hybrid-Pix2Vox'):
+        # (E)Pix2Vox path: binary fg views in, occupancy out as bg/fg stack
+        # (reference interface_models.py:5-21, run_dl.py:362-364)
+        from acquisition_focus_tpu.models.epix2vox import (
+            epix2vox_interface_input, epix2vox_interface_output)
+        views = epix2vox_interface_input(b_input, spec.n_views)
+        occupancy = unet.apply(unet_params, views)
+        logits = epix2vox_interface_output(occupancy)
+    else:
+        logits = unet.apply(unet_params, b_input, grid_affines_full)
 
     target = onehot
     y_hat = logits
@@ -324,13 +387,14 @@ def train_step(spec: StageSpec, unet, atms, recon_opt, trans_opt,
             metrics, preds)
 
 
-@partial(jax.jit, static_argnames=('spec', 'unet', 'atms', 'with_aug'))
+@partial(jax.jit, static_argnames=('spec', 'unet', 'atms', 'with_aug', 'seg_model'))
 def eval_step(spec: StageSpec, unet, atms, unet_params, atm_params, batch, rng,
-              with_aug=False):
+              with_aug=False, seg_model=None, seg_params=None):
     """Forward-only step; returns loss, per-class dice, dense predictions, and the
     view geometry artifacts (thetas, slice affines) for logging/output."""
     loss, aux = forward(spec, unet, unet_params, atms, atm_params, batch,
-                        rng if with_aug else None, train=False)
+                        rng if with_aug else None, train=False,
+                        seg_model=seg_model, seg_params=seg_params)
     pred, dice = _metrics_from_logits(spec, aux['logits'], aux['target_onehot'])
     return {
         'loss': loss,

@@ -60,6 +60,55 @@ def label_inertia_tensor(mask):
     return center, inertia
 
 
+def batched_inertia(masks):
+    """Batched (N, D, H, W) masks -> centers (N, 3), inertia tensors (N, 3, 3)."""
+    import jax
+    return jax.vmap(label_inertia_tensor)(masks.astype(jnp.float32))
+
+
+def slice_min_principal_align_affines(slice_labels):
+    """Grid-space affines rotating each slice so its non-background content's
+    min-inertia axis becomes the in-plane principal direction.
+
+    Args:
+      slice_labels: (N, Sh, Sw, 1) dense integer labels (one-voxel-thick slices).
+    Returns: (N, 4, 4) grid affines.
+
+    jit-compatible re-design of the reference's per-sample loop
+    (learnable_transform.py:337-358): masked dense moments + eigh instead of sparse
+    indices + eig, vmapped over the batch.
+    """
+    import jax
+
+    def per_slice(lbl):
+        mask = (lbl > 0)
+        center, inertia = label_inertia_tensor(mask)
+        center = center.at[-1].set(0.5)
+        vecs = jnp.linalg.eigh(inertia)[1]
+        min_principal = vecs[:, 0]
+        second = jnp.cross(min_principal, jnp.asarray([0.0, 0.0, 1.0]))
+
+        # orthonormal slice frame (jnp variant of clinical_views.
+        # pix_affine_from_center_and_plane_vects)
+        main = min_principal / jnp.linalg.norm(min_principal)
+        two = second / jnp.maximum(jnp.linalg.norm(second), 1e-8)
+        normal = jnp.cross(main, two)
+        normal = normal / jnp.maximum(jnp.linalg.norm(normal), 1e-8)
+        two = jnp.cross(normal, main)
+        pix = jnp.eye(4)
+        pix = pix.at[:3, :3].set(jnp.stack([two, main, normal]))
+        pix = pix.at[:3, 3].set(center)
+
+        # pix -> grid affine (clinical_views.grid_affine_from_pix_affine, jnp)
+        shape = jnp.asarray(lbl.shape, jnp.float32)
+        out = pix
+        out = out.at[:3, :3].set(pix[:3, :3][::-1, ::-1].T)
+        out = out.at[:3, 3].set((2.0 * pix[:3, 3] / shape - 1.0)[::-1])
+        return out
+
+    return jax.vmap(per_slice)(slice_labels)
+
+
 def principal_axes(inertia):
     """(min, mid, max) principal axes of a symmetric 3x3 inertia tensor, ordered by
     ascending eigenvalue (sign of each axis is arbitrary, as in the reference).

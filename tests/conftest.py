@@ -19,6 +19,19 @@ import pytest  # noqa: E402
 REFERENCE_ROOT = "/root/reference"
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: heavy test, run with RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow; set RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
