@@ -75,6 +75,9 @@ DEFAULTS = DotDict(
     metrics_every=20,                # heavy-metric cadence (reference run_dl.py:507)
     seed=0,
     log_dir="data/runs",
+    debug_nans=False,                # jax_debug_nans anomaly detection
+    segment_model_path=None,         # orbax ckpt for from-segmented modes
+    centroid_ref_path=None,          # canonical heart label NIfTI (phantom default)
 )
 
 

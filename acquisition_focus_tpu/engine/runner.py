@@ -243,6 +243,9 @@ def _eval_phase(phase, spec, unet, atms, unet_params, atm_params, dataset, idxs,
     if dataset is None or len(dataset) == 0:
         return float('nan')
     seg_model, seg_params = _load_segmenter(config, len(dataset.label_tags))
+    collect_artifacts = bool(config.get('do_output')) and phase in ('val', 'test')
+    epx_affines = {}
+    epx_inputs = {}
     scores = {}
     losses = []
     heavy = _heavy_metric_epoch(config, epx)
@@ -287,14 +290,50 @@ def _eval_phase(phase, spec, unet, atms, unet_params, atm_params, dataset, idxs,
             accumulate_label_scores(scores, 'delta_vol_rel',
                                     diff / np.maximum(vols_t, 1e-8), eval_tags)
 
+        if collect_artifacts:
+            for j, case_id in enumerate(sel):
+                epx_affines[case_id] = {
+                    'grid_affines': np.asarray(out['grid_affines'][:, j]),
+                    'transformed_nii_affines': np.asarray(
+                        out['out_nii_affines'][:, j]),
+                    'thetas': np.asarray(out['thetas'][:, j]),
+                }
+                epx_inputs[case_id] = np.asarray(out['b_input'][j], np.float16)
+
         if out_dir:
             _store_eval_output(out_dir, i, sel, batch, out)
         if config.get('debug'):
             break
 
+    if collect_artifacts and epx_affines:
+        _store_epoch_artifacts(logger.dir, phase, epx, epx_affines, epx_inputs,
+                               len(config['base_views']))
+
     loss = float(np.mean(losses)) if losses else float('nan')
     _log_phase(logger, config, phase, loss, scores, global_idx)
     return loss
+
+
+def _store_epoch_artifacts(run_dir, phase, epx, epx_affines, epx_inputs, n_views):
+    """Per-epoch learned-geometry + slice-input artifacts
+    (reference run_dl.py:569-595: dill affine dumps, PNG mosaics, compact inputs)."""
+    import pickle
+    from pathlib import Path as _P
+    out_dir = _P(run_dir) / 'output' / phase
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / f'affines_{phase}_epx_{epx:05d}.pkl', 'wb') as f:
+        pickle.dump(epx_affines, f)
+    try:
+        from acquisition_focus_tpu.utils.visualize import (
+            save_frameless_image, slice_input_mosaic)
+        inputs = np.stack(list(epx_inputs.values())).astype(np.float32)
+        mosaic = slice_input_mosaic(inputs, n_views)
+        save_frameless_image(mosaic, out_dir / f'slices_{phase}_epx_{epx:05d}.png',
+                             cmap='RdPu')
+    except Exception as e:  # plotting must never kill training
+        print(f'artifact image failed: {e}')
+    np.savez_compressed(out_dir / f'input_{phase}_epx_{epx:05d}.npz',
+                        **{k: v for k, v in epx_inputs.items()})
 
 
 def _store_eval_output(out_dir, batch_idx, sel, batch, out):

@@ -4,11 +4,11 @@ device and prints ONE JSON line:
 
 Metric: slices/sec/chip on the default MMWHS configuration (3 views, batch 2,
 grad-accum 2, 128 cube @192mm, full ATM + hybrid U-Net training step — the hot loop
-of SURVEY.md §3.3). vs_baseline compares against the single-CPU-core reference
-throughput recorded in BENCH_BASELINE.json (the reference implementation is
-CUDA/torch and cannot run here; the recorded baseline is this same workload measured
-once on the host CPU via XLA-CPU, a conservative stand-in for the reference's
-single-device CPU execution — see BASELINE.md).
+of SURVEY.md §3.3). vs_baseline compares against BENCH_BASELINE.json: the
+measured round-1 *initial* (unoptimized) TPU implementation of the same workload
+(the torch reference publishes no throughput numbers and cannot run in this image,
+and an XLA-CPU run of the workload does not finish compiling on the 1-core host —
+see BASELINE.md and PERF.md).
 """
 
 import json
@@ -79,7 +79,7 @@ def main():
     vs_baseline = 1.0
     if baseline_file.is_file():
         base = json.loads(baseline_file.read_text())
-        vs_baseline = slices_per_sec / base['slices_per_sec_cpu']
+        vs_baseline = slices_per_sec / base['baseline_slices_per_sec']
 
     print(json.dumps({
         'metric': 'train_step slices/sec/chip (MMWHS default config: 3 views, '

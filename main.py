@@ -74,6 +74,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = load_config(args.config_path, args.meta_config_path)
+    if config.get('debug_nans'):
+        # nan/inf detection in every jitted computation — the TPU-native analog of
+        # the reference's dormant anomaly hooks (torch_utils.py:124-149, run_dl.py:32)
+        import jax
+        jax.config.update('jax_debug_nans', True)
     run_test_once_only = bool(config.get('test_only_and_output_to'))
 
     dataset_name, dataset_dir = config['dataset']
