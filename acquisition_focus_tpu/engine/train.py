@@ -156,18 +156,20 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
             soft_label.astype(spec.dtype), nii_affine,
             jnp.asarray(spec.prescan_fov_mm), spec.prescan_fov_vox,
             is_label=False, pre_grid_sample_affine=_fold(view_affines))
-        prescan = jax.lax.stop_gradient(prescan).astype(jnp.float32)
+        prescan = jax.lax.stop_gradient(prescan)  # stays in compute dtype
         P = spec.prescan_fov_vox
         prescan = jnp.transpose(prescan, (0, 2, 3, 4, 1)).reshape(
             (A, B) + tuple(P) + (C,))
 
-        # 2) stacked localization nets -> constrained thetas
-        active = StackedATMs(
-            n_views=A, optim_method=spec.optim_method,
+        # 2) stacked localization nets -> constrained thetas (per-view loop:
+        #    measured 3x faster than the vmapped grouped-conv lowering, PERF.md)
+        from acquisition_focus_tpu.models.atm import apply_stacked_atms
+        thetas = apply_stacked_atms(
+            _active_atm_params(atm_params, A), prescan,
+            optim_method=spec.optim_method,
             prescan_spat=spec.prescan_fov_vox[0],
             offset_clip_value=spec.offset_clip_value,
             zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype)
-        thetas = active.apply(_active_atm_params(atm_params, A), prescan)
     else:
         thetas = jnp.broadcast_to(jnp.eye(4), (A, B, 4, 4)).astype(jnp.float32)
 
@@ -322,7 +324,8 @@ def _metrics_from_logits(spec, logits, target_onehot):
     return pred.astype(jnp.int32), dice
 
 
-@partial(jax.jit, static_argnames=('spec', 'unet', 'atms', 'recon_opt', 'trans_opt'))
+@partial(jax.jit, static_argnames=('spec', 'unet', 'atms', 'recon_opt', 'trans_opt'),
+         donate_argnums=(5, 6, 7, 8))
 def train_step(spec: StageSpec, unet, atms, recon_opt, trans_opt,
                unet_params, atm_params, recon_opt_state, trans_opt_state,
                batch, rng):

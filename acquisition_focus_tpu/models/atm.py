@@ -135,3 +135,37 @@ class StackedATMs(nn.Module):
             dtype=self.dtype,
             name='atms',
         )(x_prescans)
+
+
+def apply_stacked_atms(stacked_params, x_prescans, *, optim_method, prescan_spat,
+                       offset_clip_value, zoom_clip_value, dtype=jnp.float32):
+    """Apply StackedATMs params with a per-view Python loop instead of nn.vmap.
+
+    XLA lowers the vmapped per-view conv stack to feature-group convolutions, which
+    measured 3x slower than running each view's plain conv net on the batch axis
+    (PERF.md). Parameter layout is identical to StackedATMs (leading view axis on
+    every leaf — init/checkpoints/masking unchanged); only execution differs.
+
+    Args: stacked_params as produced by StackedATMs.init; x_prescans (V, B, D, H, W, C).
+    Returns: (V, B, 4, 4).
+    """
+    import jax
+    module = AffineTransformModule(
+        optim_method=optim_method, prescan_spat=prescan_spat,
+        offset_clip_value=offset_clip_value, zoom_clip_value=zoom_clip_value,
+        dtype=dtype)
+    V = x_prescans.shape[0]
+    inner = stacked_params['params']['atms']
+
+    # remat: per-view conv activations are recomputed in backward — running the
+    # views sequentially would otherwise keep V full activation chains live (OOM
+    # at 128^3 prescans)
+    @jax.checkpoint
+    def run_view(view_params, x):
+        return module.apply({'params': view_params}, x)
+
+    thetas = []
+    for v in range(V):
+        view_params = jax.tree_util.tree_map(lambda p: p[v], inner)
+        thetas.append(run_view(view_params, x_prescans[v]))
+    return jnp.stack(thetas)

@@ -78,6 +78,21 @@ class SkipConnector(nn.Module):
         return jnp.concatenate(views, axis=-1)
 
 
+class DecoderStage(nn.Module):
+    """One decoder level: upsample, concat skip, two conv blocks (rematerialized —
+    the 128^3 concat/conv activations dominate peak HBM)."""
+    features: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, y, skip):
+        y = nn.ConvTranspose(self.features, (2, 2, 2), strides=(2, 2, 2),
+                             dtype=self.dtype, name='up')(y)
+        y = jnp.concatenate([y, skip], axis=-1)
+        y = _conv_block_3d(y, self.features, self.dtype, 'a')
+        return _conv_block_3d(y, self.features, self.dtype, 'b')
+
+
 class HybridUnet(nn.Module):
     """(B, n_views*num_classes, S, S) slices + (n_views, B, 4, 4) slice affines
     -> (B, num_classes, S, S, S) reconstruction logits."""
@@ -109,14 +124,11 @@ class HybridUnet(nn.Module):
         connector = connector_cls(V, use_pallas=self.use_pallas, name='skip_connector')
         skips3d = [connector(s_, grid_affines) for s_ in skips]
 
-        # 3D decoder
+        # 3D decoder (stage-wise remat)
+        stage_cls = nn.remat(DecoderStage) if self.remat_skips else DecoderStage
         y = skips3d[-1]
         for s in range(n_stages - 2, -1, -1):
-            y = nn.ConvTranspose(feats[s], (2, 2, 2), strides=(2, 2, 2),
-                                 dtype=self.dtype, name=f'dec{s}_up')(y)
-            y = jnp.concatenate([y, skips3d[s]], axis=-1)
-            y = _conv_block_3d(y, feats[s], self.dtype, f'dec{s}a')
-            y = _conv_block_3d(y, feats[s], self.dtype, f'dec{s}b')
+            y = stage_cls(feats[s], self.dtype, name=f'dec{s}')(y, skips3d[s])
 
         y = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32, name='seg_head')(y)
         return jnp.transpose(y, (0, 4, 1, 2, 3))

@@ -7,14 +7,27 @@ collapse to a single channel, then a dense head. Channels-last layout for TPU co
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
-def instance_norm(x, use_scale=False, use_bias=False, name=None):
+def instance_norm_stateless(x, eps=1e-5):
+    """Param-free instance norm as plain fused ops: GroupNorm's group reshape makes
+    XLA materialize multi-GB padded copies in the backward at 128^3 (PERF.md)."""
+    axes = tuple(range(1, x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axes, keepdims=True)
+    var = xf.var(axes, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def instance_norm(x, use_scale=False, use_bias=False, name=None, dtype=None):
     """InstanceNorm == GroupNorm with one channel per group (no running stats, which
-    matches torch InstanceNorm3d's default track_running_stats=False)."""
+    matches torch InstanceNorm3d's default track_running_stats=False). ``dtype``
+    sets the computation dtype (None = float32)."""
     return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
-                        use_scale=use_scale, use_bias=use_bias, name=name)(x)
+                        use_scale=use_scale, use_bias=use_bias, name=name,
+                        dtype=dtype)(x)
 
 
 class ConvNet(nn.Module):
@@ -25,7 +38,7 @@ class ConvNet(nn.Module):
     def __call__(self, x):
         def block(x, features):
             x = nn.Conv(features, (5, 5, 5), padding='SAME', dtype=self.dtype)(x)
-            x = instance_norm(x)
+            x = instance_norm_stateless(x)
             return nn.leaky_relu(x, negative_slope=0.01)
 
         def pool(x):
@@ -37,7 +50,7 @@ class ConvNet(nn.Module):
         x = pool(block(block(x, 64), 32))
         x = block(x, 32)
         x = nn.Conv(1, (1, 1, 1), dtype=self.dtype)(x)
-        return instance_norm(x)
+        return instance_norm_stateless(x)
 
 
 class LocalizationNet(nn.Module):

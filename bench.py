@@ -50,10 +50,15 @@ def build_workload(compute_dtype='bfloat16'):
     import jax.numpy as jnp
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
+    state = [unet_params, atm_params, recon_state, trans_state]
+
     def step(i):
-        return train_step(spec, unet, atms, recon_opt, trans_opt,
-                          unet_params, atm_params, recon_state, trans_state,
-                          batch, jax.random.key(i))
+        # train_step donates the state buffers; thread them through
+        out = train_step(spec, unet, atms, recon_opt, trans_opt,
+                         state[0], state[1], state[2], state[3],
+                         batch, jax.random.key(i))
+        state[0], state[1], state[2], state[3] = out[0], out[1], out[2], out[3]
+        return out[4]['loss']
 
     n_slices = accum * B * spec.n_views
     return step, n_slices
