@@ -87,11 +87,12 @@ class TestTrainStep:
         unet, atms, up, ap, r_opt, t_opt, r_state, t_state = self._setup(spec)
         batch = tiny_batch(spec, spec.num_grad_accum_steps, 1, rng)
         ap_before = flat_norm(ap)
+        up_before = flat_norm(up)  # before the call: train_step donates its buffers
         up2, ap2, *_ = train_step(
             spec, unet, atms, r_opt, t_opt, up, ap, r_state, t_state,
             batch, jax.random.key(0))
         assert flat_norm(ap2) == ap_before
-        assert flat_norm(up2) != flat_norm(up)  # recon still trains
+        assert flat_norm(up2) != up_before  # recon still trains
 
     def test_partial_active_views_duplicate(self, rng):
         # stage 0 of a 3-view sweep: only 1 active view, input duplicated
