@@ -70,6 +70,9 @@ DEFAULTS = DotDict(
     use_caching=True,
     # — TPU-native extensions —
     compute_dtype="bfloat16",        # conv compute dtype; params stay float32
+    atm_remat=False,                 # True: fully recompute ATM conv chains in bwd
+    unet_remat=False,                # True: fully recompute U-Net skip/decoder stages
+                                     # (False = policy remat: save bf16 conv outs only)
     mesh_shape=None,                 # e.g. {"data": 8}; None = single device
     num_sa_slices=15,                # SA stack size in view-affine precompute
     metrics_every=20,                # heavy-metric cadence (reference run_dl.py:507)

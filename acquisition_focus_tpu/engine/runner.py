@@ -56,6 +56,8 @@ def spec_from_config(config, num_classes, n_active_views, phase='train'):
         num_grad_accum_steps=config['num_grad_accum_steps'],
         compute_dtype=config.get('compute_dtype', 'bfloat16'),
         model_type=config.get('model_type', 'hybrid-unet'),
+        atm_remat=config.get('atm_remat', False),
+        unet_remat=config.get('unet_remat', False),
     )
 
 

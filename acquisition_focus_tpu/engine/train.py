@@ -60,6 +60,13 @@ class StageSpec:
     num_grad_accum_steps: int = 2
     compute_dtype: str = 'bfloat16'
     model_type: str = 'hybrid-unet'
+    # rematerialization switches. False (default) = policy remat: save only bf16
+    # conv outputs, recompute the f32 norm/activation elementwise in backward (no
+    # conv recompute; saving everything OOMs 16GB HBM — measured 21.3GB). True =
+    # full recompute of ATM chains / decoder stages (less peak HBM, for bigger
+    # volumes/batches).
+    atm_remat: bool = False
+    unet_remat: bool = False
 
     @property
     def dtype(self):
@@ -84,7 +91,7 @@ def make_models(spec: StageSpec):
                                  use_epix2vox=spec.model_type == 'hybrid-EPix2Vox')
     else:
         recon = HybridUnet(n_views=spec.n_views, num_classes=spec.num_classes,
-                           dtype=spec.dtype)
+                           dtype=spec.dtype, remat_skips=spec.unet_remat)
     unet = recon
     atms = StackedATMs(
         n_views=spec.n_views, optim_method=spec.optim_method,
@@ -95,6 +102,14 @@ def make_models(spec: StageSpec):
 
 
 def init_params(spec: StageSpec, rng_key, batch_size=1):
+    """Initialize both models' params as ONE jitted program: eager flax init runs
+    every layer's RNG/conv as its own dispatch (~650 tiny compiles, minutes of
+    wall-clock through the axon tunnel)."""
+    return _init_params_jit(spec, rng_key, batch_size)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _init_params_jit(spec: StageSpec, rng_key, batch_size):
     unet, atms = make_models(spec)
     k1, k2 = jax.random.split(rng_key)
     S = spec.hires_fov_vox[0]
@@ -169,7 +184,8 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
             optim_method=spec.optim_method,
             prescan_spat=spec.prescan_fov_vox[0],
             offset_clip_value=spec.offset_clip_value,
-            zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype)
+            zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype,
+            remat=spec.atm_remat)
     else:
         thetas = jnp.broadcast_to(jnp.eye(4), (A, B, 4, 4)).astype(jnp.float32)
 

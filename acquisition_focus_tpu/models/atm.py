@@ -138,13 +138,21 @@ class StackedATMs(nn.Module):
 
 
 def apply_stacked_atms(stacked_params, x_prescans, *, optim_method, prescan_spat,
-                       offset_clip_value, zoom_clip_value, dtype=jnp.float32):
+                       offset_clip_value, zoom_clip_value, dtype=jnp.float32,
+                       remat=False):
     """Apply StackedATMs params with a per-view Python loop instead of nn.vmap.
 
     XLA lowers the vmapped per-view conv stack to feature-group convolutions, which
     measured 3x slower than running each view's plain conv net on the batch axis
     (PERF.md). Parameter layout is identical to StackedATMs (leading view axis on
     every leaf — init/checkpoints/masking unchanged); only execution differs.
+
+    Rematerialization: each view's chain always runs under ``jax.checkpoint``.
+    With remat=False (default) the policy saves only the named bf16 'conv_out'
+    activations and recomputes the cheap f32 norm/leaky elementwise in backward —
+    no conv recompute, and the f32 norm intermediates (which OOM the chip if saved:
+    21GB measured at the default workload) never persist. remat=True recomputes
+    the full chain (max memory savings, one extra conv forward per view).
 
     Args: stacked_params as produced by StackedATMs.init; x_prescans (V, B, D, H, W, C).
     Returns: (V, B, 4, 4).
@@ -157,12 +165,15 @@ def apply_stacked_atms(stacked_params, x_prescans, *, optim_method, prescan_spat
     V = x_prescans.shape[0]
     inner = stacked_params['params']['atms']
 
-    # remat: per-view conv activations are recomputed in backward — running the
-    # views sequentially would otherwise keep V full activation chains live (OOM
-    # at 128^3 prescans)
-    @jax.checkpoint
     def run_view(view_params, x):
         return module.apply({'params': view_params}, x)
+
+    if remat:
+        run_view = jax.checkpoint(run_view)
+    else:
+        run_view = jax.checkpoint(
+            run_view,
+            policy=jax.checkpoint_policies.save_only_these_names('conv_out'))
 
     thetas = []
     for v in range(V):

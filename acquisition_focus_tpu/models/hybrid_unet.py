@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 import jax
+from jax.ad_checkpoint import checkpoint_name
 
 from acquisition_focus_tpu.models.localization import instance_norm
 from acquisition_focus_tpu.ops.affine import affine_zooms, scale_affine_columns
@@ -40,8 +41,11 @@ def _conv_block_2d(x, features, stride, groups, dtype, name_prefix):
 
 
 def _conv_block_3d(x, features, dtype, name_prefix):
+    # 'conv_out' marks the bf16 conv results for the decoder's policy-based remat
+    # (save these, recompute norm/activation in backward — see HybridUnet)
     x = nn.Conv(features, (3, 3, 3), padding='SAME', dtype=dtype,
                 name=f'{name_prefix}_conv')(x)
+    x = checkpoint_name(x, 'conv_out')
     x = instance_norm(x, use_scale=True, use_bias=True, name=f'{name_prefix}_norm')
     return nn.leaky_relu(x, negative_slope=0.01)
 
@@ -88,6 +92,7 @@ class DecoderStage(nn.Module):
     def __call__(self, y, skip):
         y = nn.ConvTranspose(self.features, (2, 2, 2), strides=(2, 2, 2),
                              dtype=self.dtype, name='up')(y)
+        y = checkpoint_name(y, 'conv_out')
         y = jnp.concatenate([y, skip], axis=-1)
         y = _conv_block_3d(y, self.features, self.dtype, 'a')
         return _conv_block_3d(y, self.features, self.dtype, 'b')
@@ -118,14 +123,26 @@ class HybridUnet(nn.Module):
             x = _conv_block_2d(x, f, 1, V, self.dtype, f'enc{s}b')
             skips.append(x)
 
-        # re-embed every skip into 3D (rematerialized in backward, like the
-        # reference's torch.utils.checkpoint around the re-embedding grid sample)
+        # re-embed every skip into 3D. remat_skips=True rematerializes the
+        # connector like the reference's torch.utils.checkpoint around the
+        # re-embedding grid sample; the default (False) keeps it plain — the
+        # Pallas plane-resample custom VJP saves only (slices, theta) residuals,
+        # and the 3D outputs are the decoder's saved inputs anyway.
         connector_cls = nn.remat(SkipConnector) if self.remat_skips else SkipConnector
         connector = connector_cls(V, use_pallas=self.use_pallas, name='skip_connector')
         skips3d = [connector(s_, grid_affines) for s_ in skips]
 
-        # 3D decoder (stage-wise remat)
-        stage_cls = nn.remat(DecoderStage) if self.remat_skips else DecoderStage
+        # 3D decoder: always checkpointed per stage. remat_skips=True recomputes
+        # the whole stage in backward (max memory savings); the default policy
+        # saves only the named bf16 'conv_out' activations and recomputes the f32
+        # instance-norm/leaky elementwise — no conv recompute, and the f32 norm
+        # intermediates (which OOM 16GB HBM if saved) never persist.
+        if self.remat_skips:
+            stage_cls = nn.remat(DecoderStage)
+        else:
+            stage_cls = nn.remat(
+                DecoderStage,
+                policy=jax.checkpoint_policies.save_only_these_names('conv_out'))
         y = skips3d[-1]
         for s in range(n_stages - 2, -1, -1):
             y = stage_cls(feats[s], self.dtype, name=f'dec{s}')(y, skips3d[s])

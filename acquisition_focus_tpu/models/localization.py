@@ -9,6 +9,7 @@ collapse to a single channel, then a dense head. Channels-last layout for TPU co
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def instance_norm_stateless(x, eps=1e-5):
@@ -37,7 +38,12 @@ class ConvNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         def block(x, features):
+            # 'conv_out' names the (bf16) conv results for policy-based remat:
+            # save these, recompute the f32 norm/activation in backward — the f32
+            # norm intermediates otherwise dominate saved-activation HBM (measured
+            # 21GB OOM at the default workload without any ATM remat)
             x = nn.Conv(features, (5, 5, 5), padding='SAME', dtype=self.dtype)(x)
+            x = checkpoint_name(x, 'conv_out')
             x = instance_norm_stateless(x)
             return nn.leaky_relu(x, negative_slope=0.01)
 

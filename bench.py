@@ -19,6 +19,7 @@ import numpy as np
 
 
 def build_workload(compute_dtype='bfloat16'):
+    import os
     import jax
     from acquisition_focus_tpu.engine.optimizers import (
         make_reconstruction_optimizer, make_transform_optimizer)
@@ -29,7 +30,9 @@ def build_workload(compute_dtype='bfloat16'):
         n_views=3, num_classes=6, n_active_views=3,
         view_optimization_mode='opt-all', use_affine_theta=True,
         augment_input=True, num_grad_accum_steps=2,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype,
+        atm_remat=os.environ.get('BENCH_ATM_REMAT', '0') == '1',
+        unet_remat=os.environ.get('BENCH_UNET_REMAT', '0') == '1')
 
     unet, atms = make_models(spec)
     unet_params, atm_params = init_params(spec, jax.random.key(0), batch_size=1)
@@ -65,12 +68,14 @@ def build_workload(compute_dtype='bfloat16'):
 
 
 def time_step(step, n_warmup=1, n_timed=3):
-    import jax
+    # float() forces a true device->host round-trip per step: block_until_ready
+    # does not reliably block through the axon TPU tunnel (measured sub-dispatch
+    # "latencies" without it).
     for i in range(n_warmup):
-        jax.block_until_ready(step(i))
+        float(step(i))
     t0 = time.time()
     for i in range(n_timed):
-        jax.block_until_ready(step(100 + i))
+        float(step(100 + i))
     return (time.time() - t0) / n_timed
 
 
