@@ -28,7 +28,8 @@ from acquisition_focus_tpu.engine.metrics import dice_per_class
 from acquisition_focus_tpu.models.atm import StackedATMs
 from acquisition_focus_tpu.models.hybrid_unet import HybridUnet
 from acquisition_focus_tpu.ops.affine import compose
-from acquisition_focus_tpu.ops.resample import nifti_grid_sample, resize_trilinear
+from acquisition_focus_tpu.ops.resample import (
+    nifti_grid_sample, nifti_grid_sample_nodiff, resize_trilinear)
 from acquisition_focus_tpu.ops.rotations import random_affine_batch
 
 
@@ -164,13 +165,15 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
     if spec.use_affine_theta:
         # 1) no-grad resample of the soft label into each view's prescan frame —
         #    the localization net input (reference learnable_transform.py:248-255).
-        #    All A view affines share the (never duplicated) volume; the gather runs
-        #    in the compute dtype — this input only feeds the (bf16) localization
-        #    convs under stop_gradient.
-        prescan, _, _ = nifti_grid_sample(
-            soft_label.astype(spec.dtype), nii_affine,
+        #    All A view affines share the (never duplicated) volume; the resample
+        #    runs in the compute dtype through the forward-only fast path (Pallas
+        #    bbox-DMA kernel on TPU) — this input only feeds the (bf16)
+        #    localization convs under stop_gradient.
+        prescan, _, _ = nifti_grid_sample_nodiff(
+            jax.lax.stop_gradient(soft_label.astype(spec.dtype)), nii_affine,
             jnp.asarray(spec.prescan_fov_mm), spec.prescan_fov_vox,
-            is_label=False, pre_grid_sample_affine=_fold(view_affines))
+            is_label=False,
+            pre_grid_sample_affine=jax.lax.stop_gradient(_fold(view_affines)))
         prescan = jax.lax.stop_gradient(prescan)  # stays in compute dtype
         P = spec.prescan_fov_vox
         prescan = jnp.transpose(prescan, (0, 2, 3, 4, 1)).reshape(

@@ -90,9 +90,12 @@ def _tile_point_coords(coef_ref, tile, dims, tiles_per_axis, shape, dim):
 
 
 def _oz_matrix(iz_row, S, P, with_derivative=False):
-    """(S, P) z-interpolation matrix (2 nonzeros per column, zero padding)."""
-    z0 = jnp.floor(iz_row)
-    fz = iz_row - z0
+    """(S, P) z-interpolation matrix (2 nonzeros per column, zero padding).
+
+    Cell assignment uses the epsilon-nudged floor convention of
+    ops.resample.grid_sample (boundary samples i == k - eps land in cell k)."""
+    z0 = jnp.floor(iz_row + 2.0 ** -14)
+    fz = jnp.maximum(iz_row - z0, 0.0)
     z0i = z0.astype(jnp.int32)
     zcol = jax.lax.broadcasted_iota(jnp.int32, (S, P), 0)
     m0 = (zcol == z0i) & (z0i >= 0)
@@ -106,8 +109,8 @@ def _oz_matrix(iz_row, S, P, with_derivative=False):
 
 def _oy_chunk(iy_col, y_base, YC, S, C, P, with_derivative=False):
     """(P, YC*C) y-interpolation mask for y positions [y_base, y_base+YC)."""
-    y0 = jnp.floor(iy_col)
-    fy = iy_col - y0
+    y0 = jnp.floor(iy_col + 2.0 ** -14)     # eps-nudged, see _oz_matrix
+    fy = jnp.maximum(iy_col - y0, 0.0)
     y0i = y0.astype(jnp.int32)
     ygrid = jax.lax.broadcasted_iota(jnp.int32, (P, YC * C), 1) // C + y_base
     m0 = (ygrid == y0i) & (y0i >= 0)

@@ -136,12 +136,23 @@ def grid_sample(volume, theta, out_dhw, mode='trilinear'):
     if mode != 'trilinear':
         raise ValueError(f"unknown mode {mode!r}")
 
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    z0 = jnp.floor(iz)
-    fx = (ix - x0).astype(cdtype)
-    fy = (iy - y0).astype(cdtype)
-    fz = (iz - z0).astype(cdtype)
+    # Cell assignment with an epsilon-nudged floor. XLA clones the coordinate
+    # arithmetic into the gather-index and the interpolation-weight fusions,
+    # and the clones may round differently (FMA contraction varies per fusion;
+    # observed on XLA:CPU, where optimization_barrier does not stop the
+    # cloning): at i == k - eps, floor() then disagrees between the two sites
+    # and the ~1 weight lands on the wrong corner — whole output planes came
+    # out one voxel off while eager/torch agree. Nudging the floor by more
+    # than the worst-case clone divergence (a few f32 ulps at coordinate
+    # magnitude <= ~256 voxels) makes every clone pick the SAME cell, and the
+    # clamped fraction bounds the residual weight error by the nudge (6e-5).
+    eps = jnp.asarray(2.0 ** -14, cdtype)
+    x0 = jnp.floor(ix + eps)
+    y0 = jnp.floor(iy + eps)
+    z0 = jnp.floor(iz + eps)
+    fx = jnp.maximum(ix - x0, 0.0).astype(cdtype)
+    fy = jnp.maximum(iy - y0, 0.0).astype(cdtype)
+    fz = jnp.maximum(iz - z0, 0.0).astype(cdtype)
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
     z0 = z0.astype(jnp.int32)
@@ -268,6 +279,53 @@ def nifti_grid_sample(volume, nii_affine, target_fov_mm=None, target_fov_vox=Non
     return out.astype(in_dtype), grid_affine, out_nii
 
 
+def nifti_grid_sample_nodiff(volume, nii_affine, target_fov_mm=None,
+                             target_fov_vox=None, is_label=False,
+                             pre_grid_sample_affine=None):
+    """Forward-only :func:`nifti_grid_sample` with a fast TPU path.
+
+    Identical semantics/geometry, but NOT differentiable: on TPU, supported
+    trilinear resamples run through the Pallas bbox-DMA MXU kernel
+    (ops.pallas.volume_resample — measured ~4x the XLA gather path on the
+    prescan workload); everything else falls back to :func:`nifti_grid_sample`.
+    Call sites must be under ``stop_gradient`` (the prescan resample feeding the
+    localization nets, reference learnable_transform.py:248-255).
+    """
+    from acquisition_focus_tpu.ops.pallas.volume_resample import (
+        affine_volume_resample_pallas, supports_affine_volume_resample)
+
+    B, C, D, H, W = volume.shape
+    use_kernel = (not is_label and jax.default_backend() == 'tpu'
+                  and target_fov_vox is not None
+                  and supports_affine_volume_resample(
+                      (D, H, W), tuple(int(v) for v in target_fov_vox), C))
+    if not use_kernel:
+        return nifti_grid_sample(volume, nii_affine, target_fov_mm,
+                                 target_fov_vox, is_label,
+                                 pre_grid_sample_affine)
+
+    target_fov_vox = tuple(int(v) for v in target_fov_vox)
+    affine_nii = nii_affine
+    if pre_grid_sample_affine is not None \
+            and pre_grid_sample_affine.shape[0] != nii_affine.shape[0]:
+        reps = pre_grid_sample_affine.shape[0] // nii_affine.shape[0]
+        affine_nii = jnp.tile(nii_affine, (reps, 1, 1))
+        if hasattr(target_fov_mm, 'ndim') and getattr(target_fov_mm, 'ndim', 1) > 1:
+            target_fov_mm = jnp.tile(target_fov_mm, (reps, 1))
+
+    grid_affine, out_nii = grid_affines_for_fov(
+        affine_nii, (D, H, W), target_fov_mm, jnp.asarray(target_fov_vox),
+        pre_grid_sample_affine)
+
+    in_dtype = volume.dtype
+    if not jnp.issubdtype(in_dtype, jnp.floating):
+        volume = volume.astype(jnp.float32)
+    min_value = volume.min()
+    out = affine_volume_resample_pallas(
+        volume - min_value, grid_affine, target_fov_vox) + min_value
+    return out.astype(in_dtype), grid_affine, out_nii
+
+
 @partial(jax.jit, static_argnames=('out_spat',))
 def sample_slice_into_volume(slices, theta, out_spat):
     """Trilinearly resample a single-plane volume, without materializing it.
@@ -299,10 +357,13 @@ def sample_slice_into_volume(slices, theta, out_spat):
 
     plane_w = jnp.maximum(0.0, 1.0 - jnp.abs(ix - (S // 2)))
 
-    y0 = jnp.floor(iy)
-    z0 = jnp.floor(iz)
-    fy = (iy - y0).astype(cdtype)
-    fz = (iz - z0).astype(cdtype)
+    # epsilon-nudged cell assignment: keeps XLA's differently-rounded clones of
+    # the coordinate arithmetic on the SAME corner (see grid_sample)
+    eps = jnp.asarray(2.0 ** -14, cdtype)
+    y0 = jnp.floor(iy + eps)
+    z0 = jnp.floor(iz + eps)
+    fy = jnp.maximum(iy - y0, 0.0).astype(cdtype)
+    fz = jnp.maximum(iz - z0, 0.0).astype(cdtype)
     y0 = y0.astype(jnp.int32)
     z0 = z0.astype(jnp.int32)
 

@@ -66,6 +66,25 @@ class TestGridSample:
         out = np.asarray(grid_sample(jnp.asarray(vol), jnp.asarray(theta), (8, 8, 8)))
         np.testing.assert_allclose(out, vol, atol=1e-6)
 
+    def test_cell_boundary_coordinates_match_torch(self):
+        """Regression: when a sample lands exactly on a cell boundary
+        (i == k - eps), XLA used to duplicate the coordinate arithmetic into
+        the index and weight fusions with different FMA contraction, putting
+        the ~1 weight on the wrong corner — whole output planes came out one
+        voxel off under jit. Coordinate-coded volume makes any corner mixup a
+        large error (smooth volumes hide it)."""
+        D, H, W = 24, 32, 48
+        z, y, x = np.meshgrid(np.arange(D), np.arange(H), np.arange(W),
+                              indexing='ij')
+        vol = (z * 10000 + y * 100 + x).astype(np.float32)[None, None]
+        t = np.eye(4, dtype=np.float32)
+        t[0, 3] = 1.2   # large x translation; y/z land exactly on voxel centers
+        ours = np.asarray(grid_sample(jnp.asarray(vol), jnp.asarray(t[None]),
+                                      (D, H, W)))
+        ref = torch_grid_sample(vol, t[None], (D, H, W), 'bilinear')
+        in_bounds = ref != 0
+        np.testing.assert_allclose(ours[in_bounds], ref[in_bounds], rtol=1e-6)
+
     def test_grad_flows_through_theta(self, rng):
         import jax
         vol = jnp.asarray(smooth_volume(rng, (1, 1, 8, 8, 8)))
