@@ -9,10 +9,13 @@ ALL classes incl. background, smooth=1.0, unit CE and dice weights, loss = CE - 
 import jax.numpy as jnp
 import jax.nn
 
+from acquisition_focus_tpu.ops.channel_ops import (
+    channel_log_softmax, channel_softmax, channel_sum)
+
 
 def soft_dice(logits, target_onehot, smooth=1.0):
     """Per-sample-per-class soft dice coefficient (B, C)."""
-    probs = jax.nn.softmax(logits, axis=1)
+    probs = channel_softmax(logits)
     axes = tuple(range(2, logits.ndim))
     tp = (probs * target_onehot).sum(axes)
     fp = (probs * (1.0 - target_onehot)).sum(axes)
@@ -21,8 +24,8 @@ def soft_dice(logits, target_onehot, smooth=1.0):
 
 
 def cross_entropy(logits, target_onehot):
-    logp = jax.nn.log_softmax(logits, axis=1)
-    return -(target_onehot * logp).sum(axis=1).mean()
+    logp = channel_log_softmax(logits)
+    return -channel_sum(target_onehot * logp, keepdims=False).mean()
 
 
 def dice_ce_loss(logits, target_onehot, weight_ce=1.0, weight_dice=1.0):
@@ -39,4 +42,4 @@ def binarize_onehot(onehot):
     Parity: ``get_binarized_from_onehot_label`` (torch_utils.py:153-156).
     """
     return jnp.concatenate(
-        [onehot[:, 0:1], onehot[:, 1:].sum(axis=1, keepdims=True)], axis=1)
+        [onehot[:, 0:1], channel_sum(onehot[:, 1:])], axis=1)

@@ -336,7 +336,8 @@ def forward(spec: StageSpec, unet, unet_params, atms, atm_params, batch, rng,
 
 
 def _metrics_from_logits(spec, logits, target_onehot):
-    pred = jnp.argmax(logits, axis=1)
+    from acquisition_focus_tpu.ops.channel_ops import channel_argmax
+    pred = channel_argmax(logits)   # axis-1 argmax unrolled (PERF.md)
     num_eval = 2 if spec.use_binarized_labels else spec.num_classes
     pred_oh = jax.nn.one_hot(pred, num_eval, axis=1, dtype=jnp.float32)
     dice = dice_per_class(pred_oh, target_onehot)

@@ -139,8 +139,10 @@ class Epix2VoxMerger(nn.Module):
             x = _batch_norm(x, f'm{i}_bn')
             x = nn.leaky_relu(x, negative_slope=self.leaky)
         S = x.shape[1]
-        weights = nn.softmax(x.reshape(B, V, S, S, S), axis=1)
-        merged = (coarse_volumes * weights).sum(axis=1)
+        from acquisition_focus_tpu.ops.channel_ops import (
+            channel_softmax, channel_sum)
+        weights = channel_softmax(x.reshape(B, V, S, S, S))
+        merged = channel_sum(coarse_volumes * weights, keepdims=False)
         return jnp.clip(merged, 0.0, 1.0)
 
 

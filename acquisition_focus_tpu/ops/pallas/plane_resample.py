@@ -56,14 +56,24 @@ def _coeffs_from_theta(theta, out_spat, S):
 
 
 def _tile_dims(S, bwd=False):
-    """3D tile (td, th, tw); P = td*th*tw points per kernel invocation."""
+    """3D tile (td, th, tw); P = td*th*tw points per kernel invocation.
+
+    Backward stays at cubic 8^3: (16,8,8) was tried and REGRESSED the train
+    step 2.81 -> 3.01 s — elongated tiles intersect the re-embedded plane more
+    often, and the lost slab skipping outweighs the halved per-invocation
+    overhead."""
     if bwd:
         return min(8, S), min(8, S), min(8, S)
     return min(16, S), min(16, S), min(8, S)
 
 
 def _y_chunk_size(S, C):
-    """y positions per stage-2 chunk: bound the (P, YC*C) buffers to ~2MB."""
+    """y positions per stage-2 chunk: bound the (P, YC*C) buffers to ~2MB.
+
+    On TPU the dynamic lane-dim slice offset yc*YC*C must be provably a
+    multiple of 128, so YC*C must be too — true for the skip connector's
+    power-of-two channel widths (16..256); other widths only run in interpret
+    mode / tests."""
     return max(1, min(16, S, 256 // C))
 
 

@@ -123,6 +123,50 @@ def main():
 
     record('unet_fwd_bwd', timeit(unet_grad, lambda i: (unet_params, x2d + i * 1e-6)))
 
+    # 4b. level-0 skip connector (Pallas plane resample) fwd and fwd+bwd —
+    # ONE view's level-0 call (C=16; the model loops views). The kernel's lane
+    # chunking needs YC*C % 128 == 0, which holds for the model's C=16..256
+    # but not for arbitrary C.
+    from acquisition_focus_tpu.ops.pallas.plane_resample import (
+        plane_resample_pallas)
+    slc0 = jnp.asarray(rng.random((B, 16, S, S)), jnp.bfloat16)
+    aff0 = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).astype(jnp.float32)
+
+    record('skip0_fwd', timeit(
+        jax.jit(lambda s: _scalar(plane_resample_pallas(s, aff0, S))),
+        lambda i: (slc0 + np.float32(i * 1e-3),)))
+
+    @jax.jit
+    def skip0_grad(s):
+        return _scalar(jax.grad(
+            lambda ss: (plane_resample_pallas(ss, aff0, S)
+                        .astype(jnp.float32) ** 2).sum())(s))
+
+    record('skip0_fwd_bwd', timeit(
+        skip0_grad, lambda i: (slc0 + np.float32(i * 1e-3),)))
+
+    # 4c. optimizer update alone (AdamW + schedules over both param trees)
+    from acquisition_focus_tpu.engine.optimizers import (
+        make_reconstruction_optimizer, make_transform_optimizer)
+    recon_opt = make_reconstruction_optimizer(1e-3, updates_per_epoch=10)
+    trans_opt = make_transform_optimizer(1e-3, epochs=80, updates_per_epoch=10)
+    recon_state = recon_opt.init(unet_params)
+    trans_state = trans_opt.init(atm_params)
+
+    @jax.jit
+    def opt_update(up, ap, rs, ts, seed):
+        ug = jax.tree_util.tree_map(lambda p: p * 1e-6 + seed * 1e-8, up)
+        ag = jax.tree_util.tree_map(lambda p: p * 1e-6 + seed * 1e-8, ap)
+        uu, rs2 = recon_opt.update(ug, rs, up)
+        au, ts2 = trans_opt.update(ag, ts, ap)
+        import optax
+        return _scalar((optax.apply_updates(up, uu), optax.apply_updates(ap, au)))
+
+    record('opt_update', timeit(
+        opt_update,
+        lambda i: (unet_params, atm_params, recon_state, trans_state,
+                   jnp.float32(i))))
+
     # 5. full forward (loss) and full grad, single microbatch
     micro = {'label': label, 'nii_affine': nii, 'view_affines': views}
 
