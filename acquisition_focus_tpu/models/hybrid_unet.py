@@ -57,6 +57,7 @@ class SkipConnector(nn.Module):
     """
     n_views: int
     use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, grid_affines):
@@ -71,13 +72,18 @@ class SkipConnector(nn.Module):
         # Channels-first inside the gather: with few channels per view (16..256),
         # a channels-minor layout pads the lane dimension up to 8x on TPU (observed
         # 16GB OOM); (C, N)-shaped gathers pad nothing. On TPU the Pallas
-        # slab-skipping MXU kernel replaces the XLA gather (3-6x faster).
+        # slab-skipping MXU kernel replaces the XLA gather (3-6x faster). A bf16
+        # compute dtype also switches its MXU contractions to bf16 ('fast'): the
+        # features/gradients flowing through are bf16-rounded anyway.
         on_tpu = self.use_pallas and jax.default_backend() == 'tpu'
-        resample = plane_resample_pallas if on_tpu else sample_slice_into_volume
+        fast = self.dtype == jnp.bfloat16
         views = []
         for v in range(self.n_views):
             slc = jnp.transpose(x[..., v * f:(v + 1) * f], (0, 3, 1, 2))
-            vol = resample(slc, inv_aff[v], S)
+            if on_tpu:
+                vol = plane_resample_pallas(slc, inv_aff[v], S, fast)
+            else:
+                vol = sample_slice_into_volume(slc, inv_aff[v], S)
             views.append(jnp.transpose(vol, (0, 2, 3, 4, 1)))
         return jnp.concatenate(views, axis=-1)
 
@@ -129,7 +135,8 @@ class HybridUnet(nn.Module):
         # Pallas plane-resample custom VJP saves only (slices, theta) residuals,
         # and the 3D outputs are the decoder's saved inputs anyway.
         connector_cls = nn.remat(SkipConnector) if self.remat_skips else SkipConnector
-        connector = connector_cls(V, use_pallas=self.use_pallas, name='skip_connector')
+        connector = connector_cls(V, use_pallas=self.use_pallas, dtype=self.dtype,
+                                  name='skip_connector')
         skips3d = [connector(s_, grid_affines) for s_ in skips]
 
         # 3D decoder: always checkpointed per stage. remat_skips=True recomputes

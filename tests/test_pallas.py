@@ -60,6 +60,26 @@ class TestPlaneResamplePallas:
             np.testing.assert_allclose(np.asarray(p) / scale, np.asarray(r) / scale,
                                        atol=1e-4)
 
+    def test_fast_mode_close_to_exact(self, rng):
+        """bf16 contraction mode: values/grads within bf16 rounding of exact."""
+        S, C, B = 16, 3, 2
+        slices, theta = random_inputs(rng, B, C, S)
+        out = pr.plane_resample_pallas(slices, theta, S, True)
+        ref = pr.plane_resample_pallas(slices, theta, S)
+        scale = max(float(jnp.abs(ref).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(out) / scale,
+                                   np.asarray(ref) / scale, atol=2e-2)
+
+        def loss(s, fast):
+            return (pr.plane_resample_pallas(s, theta, S, fast)
+                    .astype(jnp.float32) ** 2).sum()
+
+        gf = jax.grad(lambda s: loss(s, True))(slices)
+        ge = jax.grad(lambda s: loss(s, False))(slices)
+        gs = max(float(jnp.abs(ge).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(gf) / gs, np.asarray(ge) / gs,
+                                   atol=2e-2)
+
     def test_identity_affine_center_plane(self, rng):
         S, C = 8, 2
         slices = jnp.asarray(rng.normal(size=(1, C, S, S)), jnp.float32)
