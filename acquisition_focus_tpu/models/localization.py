@@ -50,21 +50,36 @@ def space_to_depth(x):
     return x.reshape(B, D // 2, H // 2, W // 2, 8 * C)
 
 
+_S2D_TAP = None
+
+
+def _s2d_tap_matrix():
+    """(5, 12) one-hot scatter matrix: S[k, (m,s,r)] = 1 iff k == 2(m-1)+s-r+2."""
+    global _S2D_TAP
+    if _S2D_TAP is None:
+        S = np.zeros((5, 3, 2, 2), np.float32)
+        for k in range(5):
+            for m in range(3):
+                for s_ in range(2):
+                    for r in range(2):
+                        if 2 * (m - 1) + s_ - r + 2 == k:
+                            S[k, m, s_, r] = 1.0
+        _S2D_TAP = S.reshape(5, 12)
+    return _S2D_TAP
+
+
 def s2d_conv_weights(kernel):
     """Rewrite a stride-1 5^3 conv kernel (5,5,5,Ci,Co) as the equivalent 3^3
     conv over 2x2x2-blocked channels: (3,3,3,8Ci,8Co).
 
     y[2q+r] = sum_d W[d+2] x[2q+r+d]  with  r+d = 2m+s  gives
-    W2[m+1, (s,ci), (r,co)] = W[2m+s-r+2] (zero outside [0,4])."""
+    W2[m+1, (s,ci), (r,co)] = W[2m+s-r+2] (zero outside [0,4]). The scatter is
+    expressed as three one-hot tensordots — a per-element gather lowers to the
+    TPU gather engine and cost ~150 ms/step across the views (measured)."""
     Ci, Co = kernel.shape[3], kernel.shape[4]
-    Wp = jnp.pad(kernel, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
-    m = np.arange(3)[:, None, None]
-    s = np.arange(2)[None, :, None]
-    r = np.arange(2)[None, None, :]
-    I = jnp.asarray(2 * (m - 1) + s - r + 3)        # (3, 2, 2) in [0, 6]
-    W2 = Wp[I[:, :, :, None, None, None, None, None, None],
-            I[None, None, None, :, :, :, None, None, None],
-            I[None, None, None, None, None, None, :, :, :]]
+    S = jnp.asarray(_s2d_tap_matrix(), kernel.dtype)
+    W2 = jnp.einsum('abcio,ax,by,cz->xyzio', kernel, S, S, S)  # (12,12,12,Ci,Co)
+    W2 = W2.reshape(3, 2, 2, 3, 2, 2, 3, 2, 2, Ci, Co)
     # (md,sd,rd, mh,sh,rh, mw,sw,rw, Ci, Co) -> (md,mh,mw, sd,sh,sw,ci, rd,rh,rw,co)
     W2 = jnp.transpose(W2, (0, 3, 6, 1, 4, 7, 9, 2, 5, 8, 10))
     return W2.reshape(3, 3, 3, 8 * Ci, 8 * Co)
