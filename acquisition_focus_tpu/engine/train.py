@@ -132,6 +132,19 @@ def _fold(x):
     return x.reshape((-1,) + x.shape[2:])
 
 
+def prescan_kernel_in_scale(spec: StageSpec) -> bool:
+    """Whether the prescan resample's affine scale fits the Pallas volume
+    kernel's static bbox (~1.4 source voxels per output voxel): the static FOV
+    ratio (e.g. 4x for 6mm/32-cube prescans from the 1.5mm hires volume) times
+    the worst-case augmentation zoom (1 + 0.2*strength)."""
+    fov_ratio = max(
+        (pm / pv) / (hm / hv)
+        for pm, pv, hm, hv in zip(spec.prescan_fov_mm, spec.prescan_fov_vox,
+                                  spec.hires_fov_mm, spec.hires_fov_vox))
+    max_zoom = 1.0 + 0.2 * (spec.augment_strength if spec.augment_input else 0.0)
+    return fov_ratio * max_zoom <= 1.4
+
+
 def _active_atm_params(atm_params, n_active):
     return jax.tree_util.tree_map(lambda p: p[:n_active], atm_params)
 
@@ -168,8 +181,15 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
         #    All A view affines share the (never duplicated) volume; the resample
         #    runs in the compute dtype through the forward-only fast path (Pallas
         #    bbox-DMA kernel on TPU) — this input only feeds the (bf16)
-        #    localization convs under stop_gradient.
-        prescan, _, _ = nifti_grid_sample_nodiff(
+        #    localization convs under stop_gradient. The kernel's static bbox
+        #    covers affine scales up to ~1.4 source voxels per output voxel; the
+        #    prescan affine's scale is the static FOV ratio (e.g. 4x for 6mm/32³
+        #    prescans from the 1.5mm hires volume) times the augmentation zoom
+        #    (1 + 0.2*strength). Out-of-range configs fall back to the exact
+        #    gather path.
+        sample_fn = (nifti_grid_sample_nodiff if prescan_kernel_in_scale(spec)
+                     else nifti_grid_sample)
+        prescan, _, _ = sample_fn(
             jax.lax.stop_gradient(soft_label.astype(spec.dtype)), nii_affine,
             jnp.asarray(spec.prescan_fov_mm), spec.prescan_fov_vox,
             is_label=False,

@@ -121,3 +121,23 @@ class TestEvalStep:
         assert np.isfinite(float(out['loss']))
         # dice shape (B, C)
         assert out['dice'].shape == (1, spec.num_classes)
+
+
+def test_prescan_kernel_scale_guard():
+    """The Pallas prescan kernel only dispatches when the static affine scale
+    (FOV ratio x worst-case augmentation zoom) fits its bbox coverage."""
+    from acquisition_focus_tpu.engine.train import (
+        StageSpec, prescan_kernel_in_scale)
+
+    base = dict(n_views=2, num_classes=6, n_active_views=2,
+                view_optimization_mode='opt-all', use_affine_theta=True)
+    # default config: 128-cube prescan at the hires voxel size -> in scale
+    assert prescan_kernel_in_scale(StageSpec(**base))
+    # 6mm/32-cube prescan from the 1.5mm hires volume: 4x downsampling
+    assert not prescan_kernel_in_scale(StageSpec(
+        **base, prescan_fov_mm=(192.0,) * 3, prescan_fov_vox=(32, 32, 32)))
+    # extreme augmentation zoom pushes past the bbox margin
+    assert not prescan_kernel_in_scale(StageSpec(**base, augment_strength=3.0))
+    # augmentation off: strength does not matter
+    assert prescan_kernel_in_scale(StageSpec(
+        **base, augment_strength=3.0, augment_input=False))
