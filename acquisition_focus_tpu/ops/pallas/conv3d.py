@@ -104,17 +104,21 @@ def conv3d_pallas(x, w):
     assert supports_conv3d(x.shape, w.shape), (x.shape, w.shape)
 
     # halo + alignment padding in XLA: one voxel of zero halo on each z/y/x
-    # side; the W axis padded up to a sublane-tile multiple so the scratch
-    # stays layout-clean. Padded rows are zero => SAME zero-padding semantics.
+    # side; the W axis padded up to a sublane-tile multiple and the channel
+    # (lane) axis up to a 128 multiple — DMA slices must be whole lane tiles.
+    # Padded voxels/channels are zero => SAME zero-padding semantics and zero
+    # contributions from the padded K rows.
     Wp = -(-(W + 2) // 8) * 8
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1), (0, 0)))
-    w_flat = w.astype(x.dtype).reshape(27, Ci, Co)
+    Cp = -(-Ci // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1), (0, Cp - Ci)))
+    w_flat = jnp.pad(w.astype(x.dtype), ((0, 0),) * 3 + ((0, Cp - Ci), (0, 0)))
+    w_flat = w_flat.reshape(27, Cp, Co)
     precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
 
     nz, ny = D // TZ, H // TY
     out = pl.pallas_call(
-        partial(_kernel, W=W, C=Ci, Co=Co, nz=nz, ny=ny,
+        partial(_kernel, W=W, C=Cp, Co=Co, nz=nz, ny=ny,
                 n_total=B * nz * ny, precision=precision),
         out_shape=jax.ShapeDtypeStruct((B * nz * ny, TZ, TY, W, Co), x.dtype),
         grid=(B, nz, ny),
@@ -127,7 +131,7 @@ def conv3d_pallas(x, w):
             lambda b, zi, yi: ((b * nz + zi) * ny + yi, 0, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, TZ + 2, TY + 2, Wp, Ci), x.dtype),
+            pltpu.VMEM((2, TZ + 2, TY + 2, Wp, Cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(xp, w_flat)
