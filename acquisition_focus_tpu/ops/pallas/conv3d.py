@@ -1,36 +1,39 @@
 """Pallas TPU kernel: direct 3^3 stride-1 SAME 3D convolution (forward).
 
 Targets the hybrid U-Net decoder's large-volume conv levels, where XLA's
-conv lowering reaches only 13-16 TF/s (measured; dec0's Co=48 fills 37% of the
-MXU lane dim). The kernel avoids every Mosaic reshape/alignment pitfall learned
-on this chip (PERF.md):
+conv lowering reaches 13-16 TF/s (measured; dec0's Co=48 fills 37% of the MXU
+lane dim). Structure (respecting every Mosaic constraint learned on this chip
+— PERF.md):
 
-* the operand is pre-padded in XLA — one voxel of z/y/x halo plus alignment
-  padding — so every DMA origin lands on untiled dims with static full-width
-  trailing slices (no divisibility proofs needed);
-* per grid step, a (TZ+2, TY+2, W+2->pad, Ci) halo tile is DMAd to VMEM
-  (double-buffered across steps);
-* compute runs per output row: for each tap, one (W, Ci) x (Ci, Co) dot with a
-  statically x-shifted input window — M=W=128 fills the MXU and no 3D->2D
-  flattening is ever required. The z/y tap offsets index untiled scratch dims,
-  so they loop in a fori (bounded program size); the x shift must stay a
-  static sublane offset and is unrolled.
+* the operand is zero-padded (z/y halo, channels to whole 128-lane tiles) and
+  the (H+2, W) plane is FLATTENED in XLA so that TY=4 consecutive output rows
+  are sublane-contiguous: each tap contributes ONE (TY*W=512, Ci) x (Ci, Co)
+  dot with a *static* sublane offset dy*W+dx — M=512 spans 4 MXU tiles per
+  pass instead of 1, and no in-kernel reshape is ever needed;
+* flattening makes the x-halo wrap: at tap dx=+-1 the row-edge points read the
+  neighbouring row's first/last element instead of the zero pad. The wrong
+  contributions sit at 4 static M positions and are cancelled with a one-hot
+  (512, 4) matmul against the neighbour rows' (4, Ci) values — zero rows
+  (true halo) cancel nothing, exactly reproducing SAME zero padding;
+* per grid step a (TZ+2, (TY+3)*W, Cp) halo window is DMAd to VMEM
+  (double-buffered across steps; the extra leading W rows keep all static
+  offsets non-negative).
 
 Only the forward pass: wire it via jax.custom_vjp with the standard XLA
 convolution gradients. Contractions run in the input dtype with f32
-accumulation (bf16 inputs -> bf16 MXU passes; f32 inputs -> Precision.HIGHEST,
-exact — same convention as the other kernels here).
+accumulation (bf16 inputs -> bf16 MXU passes; f32 inputs -> Precision.HIGHEST).
 """
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TZ = 8     # output z rows per grid step
-TY = 4     # output y rows per grid step
+TY = 4     # output y rows per grid step (TY*W is the M dim of each tap dot)
 
 
 def supports_conv3d(x_shape, w_shape):
@@ -40,12 +43,22 @@ def supports_conv3d(x_shape, w_shape):
     B, D, H, W, Ci = x_shape
     if tuple(w_shape[:3]) != (3, 3, 3) or w_shape[3] != Ci:
         return False
-    # W is the MXU M dim: want full tiles; D/H must tile the grid.
+    # W is the sublane run length: full lane tiles on M; D/H must tile the grid.
     return W % 128 == 0 and D % TZ == 0 and H % TY == 0
 
 
-def _kernel(x_ref, w_ref, out_ref, scratch, sems, *, W, C, Co, nz, ny, n_total,
-            precision):
+def _edge_scatter(P, W, edge_x):
+    """(P, TY) one-hot: column r marks M position r*W + edge_x."""
+    m = np.zeros((P, TY), np.float32)
+    for r in range(TY):
+        m[r * W + edge_x, r] = 1.0
+    return m
+
+
+def _kernel(x_ref, w_ref, scat_ref, out_ref, scratch, sems, *, W, Cp, Co,
+            nz, ny, n_total, precision, dtype):
+    P = TY * W
+    win = (TY + 3) * W + 8     # +8: the (dy=2, dx=+1) window needs one extra row
     b = pl.program_id(0)
     zi = pl.program_id(1)
     yi = pl.program_id(2)
@@ -56,7 +69,7 @@ def _kernel(x_ref, w_ref, out_ref, scratch, sems, *, W, C, Co, nz, ny, n_total,
         z_ = (g_ // ny) % nz
         y_ = g_ % ny
         return pltpu.make_async_copy(
-            x_ref.at[b_, pl.ds(z_ * TZ, TZ + 2), pl.ds(y_ * TY, TY + 2)],
+            x_ref.at[b_, pl.ds(z_ * TZ, TZ + 2), pl.ds(y_ * TY * W, win)],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -73,26 +86,42 @@ def _kernel(x_ref, w_ref, out_ref, scratch, sems, *, W, C, Co, nz, ny, n_total,
 
     dma(g, slot).wait()
 
-    # per output row: accumulate the 27 taps. z/y offsets are dynamic indices
-    # into untiled dims (fori); the x shift is a static sublane offset (unrolled).
+    def dot(a, bmat):
+        return jax.lax.dot_general(a, bmat, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+
+    left = scat_ref[0]
+    right = scat_ref[1]
+
+    def rows(z, dz, positions):
+        """(TY, Cp) stack of single window rows at the given static offsets."""
+        return jnp.concatenate(
+            [scratch[slot, z + dz, p:p + 1, :] for p in positions], axis=0)
+
     for z in range(TZ):
-        for y in range(TY):
-
-            def tap_zy(k, acc):
-                dz = k // 3
-                dy = k % 3
-                for dx in range(3):
-                    row = scratch[slot, z + dz, y + dy, dx:dx + W, :]
-                    tap = w_ref[(k * 3 + dx)]
-                    acc = acc + jax.lax.dot_general(
-                        row, tap, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision)
-                return acc
-
-            acc = jax.lax.fori_loop(0, 9, tap_zy,
-                                    jnp.zeros((W, Co), jnp.float32))
-            out_ref[0, z, y] = acc.astype(out_ref.dtype)
+        acc = jnp.zeros((P, Co), jnp.float32)
+        corr_r = jnp.zeros((TY, Co), jnp.float32)
+        corr_l = jnp.zeros((TY, Co), jnp.float32)
+        for dz in range(3):
+            for dy in range(3):
+                base = W + dy * W          # window-relative row of (r=0, x=0)
+                for dx in (-1, 0, 1):
+                    tap = w_ref[(dz * 3 + dy) * 3 + (dx + 1)]
+                    sl = scratch[slot, z + dz, base + dx:base + dx + P, :]
+                    acc = acc + dot(sl, tap)
+                    # flat-wrap reads to cancel: at dx=+1 the x=W-1 points read
+                    # the NEXT row's x=0; at dx=-1 the x=0 points read the
+                    # PREVIOUS row's x=W-1. Accumulate the per-row neighbour
+                    # contributions; one scatter per side per z below.
+                    if dx == 1:
+                        nb = rows(z, dz, [base + (r + 1) * W for r in range(TY)])
+                        corr_r = corr_r + dot(nb, tap)
+                    elif dx == -1:
+                        nb = rows(z, dz, [base + r * W - 1 for r in range(TY)])
+                        corr_l = corr_l + dot(nb, tap)
+        acc = acc - dot(right, corr_r) - dot(left, corr_l)
+        out_ref[0, z] = acc.astype(out_ref.dtype)
 
 
 @jax.jit
@@ -103,40 +132,44 @@ def conv3d_pallas(x, w):
     Co = w.shape[4]
     assert supports_conv3d(x.shape, w.shape), (x.shape, w.shape)
 
-    # halo + alignment padding in XLA: one voxel of zero halo on each z/y/x
-    # side; the W axis padded up to a sublane-tile multiple and the channel
-    # (lane) axis up to a 128 multiple — DMA slices must be whole lane tiles.
-    # Padded voxels/channels are zero => SAME zero-padding semantics and zero
-    # contributions from the padded K rows.
-    Wp = -(-(W + 2) // 8) * 8
+    # zero halo on z/y, channels padded to whole lane tiles, then the (H+2, W)
+    # plane flattened with W extra leading zero rows so all static window
+    # offsets are non-negative. Padded voxels/channels are zero.
     Cp = -(-Ci // 128) * 128
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1), (0, Cp - Ci)))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, Cp - Ci)))
+    xp = xp.reshape(B, D + 2, (H + 2) * W, Cp)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (W, 8), (0, 0)))
     w_flat = jnp.pad(w.astype(x.dtype), ((0, 0),) * 3 + ((0, Cp - Ci), (0, 0)))
     w_flat = w_flat.reshape(27, Cp, Co)
     precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
 
+    scat = jnp.asarray(np.stack([_edge_scatter(TY * W, W, 0),
+                                 _edge_scatter(TY * W, W, W - 1)]),
+                       jnp.float32)
+
     nz, ny = D // TZ, H // TY
     out = pl.pallas_call(
-        partial(_kernel, W=W, C=Cp, Co=Co, nz=nz, ny=ny,
-                n_total=B * nz * ny, precision=precision),
-        out_shape=jax.ShapeDtypeStruct((B * nz * ny, TZ, TY, W, Co), x.dtype),
+        partial(_kernel, W=W, Cp=Cp, Co=Co, nz=nz, ny=ny,
+                n_total=B * nz * ny, precision=precision, dtype=x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * nz * ny, TZ, TY * W, Co), x.dtype),
         grid=(B, nz, ny),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),    # padded operand
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # (27, Ci, Co) weights
+            pl.BlockSpec(memory_space=pltpu.HBM),    # padded flat operand
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # (27, Cp, Co) weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # (2, P, TY) edge scatters
         ],
         out_specs=pl.BlockSpec(
-            (1, TZ, TY, W, Co),
-            lambda b, zi, yi: ((b * nz + zi) * ny + yi, 0, 0, 0, 0),
+            (1, TZ, TY * W, Co),
+            lambda b, zi, yi: ((b * nz + zi) * ny + yi, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, TZ + 2, TY + 2, Wp, Cp), x.dtype),
+            pltpu.VMEM((2, TZ + 2, (TY + 3) * W + 8, Cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(xp, w_flat)
+    )(xp, w_flat, scat)
 
-    # un-tile: (B*nz*ny, TZ, TY, W, Co) -> (B, D, H, W, Co)
+    # un-tile: (B*nz*ny, TZ, TY*W, Co) -> (B, D, H, W, Co)
     out = out.reshape(B, nz, ny, TZ, TY, W, Co)
     out = jnp.transpose(out, (0, 1, 3, 2, 4, 5, 6))
     return out.reshape(B, D, H, W, Co)
