@@ -1,93 +1,112 @@
 """Multi-stage view-optimization sweep machinery.
 
-Behavioral port of /root/reference/acquisition_focus/running/stages.py:5-89: one
-``opt_view{i}`` stage per base view (optimize the current view, freeze previous), then
-a final ``ref`` stage with fixed views; stage-to-stage key inheritance; checkpoint
-chaining through the ``save_path`` -> ``transform_model_checkpoint_path`` hand-off.
-"""
+Capability port of the reference stage layer
+(/root/reference/acquisition_focus/running/stages.py:5-89): one ``opt_view{i}``
+stage per base view (optimize the current view, freeze previous ones), then a
+final ``ref`` stage with fixed views. Two behaviors matter downstream:
 
-import collections.abc
+* **Forward key inheritance** — every config key a stage carries (including keys
+  the runner writes back into the live stage dict, like ``save_path``) flows
+  into the next stage unless that stage overrides it.
+* **Checkpoint chaining** — when stage k+1 opens, the previous stage's best
+  ``save_path`` is promoted to ``transform_model_checkpoint_path``, freezing
+  view k's learned orientation into stage k+1 (reference stages.py:53-54 with
+  the write-back at run_dl.py:701-702).
+
+Implemented here as a carry-dict sweep: the sweep owns a single accumulated
+key/value state, folded into each stage as it opens. Because inheritance is
+transitive, this is behaviorally identical to chained pairwise inheritance.
+"""
 
 
 class Stage(dict):
-    def __init__(self, **kwargs):
-        activate = kwargs.pop('activate_fn', None)
-        super().__init__(**kwargs)
-        self._activate_fn = activate or (lambda stage: None)
+    """One sweep entry: a dict of config overrides plus an optional ``on_open``
+    hook that runs after inheritance (so it can read handed-forward keys)."""
+
+    def __init__(self, on_open=None, **entries):
+        super().__init__(**entries)
+        self.on_open = on_open
 
     def activate(self):
-        self._activate_fn(self)
+        if self.on_open is not None:
+            self.on_open(self)
 
 
-class StageIterator(collections.abc.Iterator):
-    """Iterates stages; every key of the previous stage is inherited by the next
-    unless overridden (reference stages.py:15-32)."""
+class StageSweep:
+    """Iterable over stages with forward key inheritance.
+
+    Exposes ``current_key`` / ``position`` for run naming and progress prints.
+    """
 
     def __init__(self, stages, verbose=False):
-        self.stages = stages
-        self.stage_keys = list(stages.keys())
-        self.current = None
+        self._pending = list(stages.items())
+        self._total = len(stages)
+        self._carry = None  # the previously-opened stage dict (mutations visible)
         self.current_key = None
-        self.idx = -1
-        self.len = len(stages)
+        self.position = 0
         self.verbose = verbose
 
+    def __len__(self):
+        return self._total
+
+    def __iter__(self):
+        return self
+
     def __next__(self):
-        if self.current is None:
-            self.current_key = self.stage_keys.pop(0)
-            self.current = self.stages[self.current_key]
-        else:
-            if not self.stage_keys:
-                raise StopIteration()
-            nxt_key = self.stage_keys.pop(0)
-            nxt = self.stages[nxt_key]
-            for key, value in self.current.items():
-                if key not in nxt:
-                    nxt[key] = value
-            self.current_key = nxt_key
-            self.current = nxt
-        self.idx += 1
+        if not self._pending:
+            raise StopIteration
+        key, stage = self._pending.pop(0)
+        if self._carry is not None:
+            # Fold every not-overridden key of the previous stage (as mutated by
+            # the runner since it opened) into this one.
+            for k, v in self._carry.items():
+                stage.setdefault(k, v)
+        self._carry = stage
+        self.current_key = key
+        self.position += 1
         if self.verbose:
-            print(f"Opening stage '{self.current_key}' ({self.idx + 1}/{self.len})")
-        return self.current
+            print(f"stage sweep: opening '{key}' [{self.position}/{self._total}]")
+        return stage
 
 
 def _chain_previous_transform_checkpoint(stage):
-    # Promote the previous stage's best save into this stage's transform checkpoint:
-    # this is how view k's learned orientation is frozen into stage k+1
-    # (reference stages.py:53-54, written back by run_dl.py:701-702).
-    stage['transform_model_checkpoint_path'] = stage.get('save_path')
+    """Promote the previous stage's best save into this stage's transform
+    checkpoint. When no ``save_path`` was handed forward (e.g. ``stage_override``
+    starts the sweep at a non-first stage), leave the key alone so a
+    config-provided ``transform_model_checkpoint_path`` survives."""
+    save_path = stage.get('save_path')
+    if save_path is not None:
+        stage['transform_model_checkpoint_path'] = save_path
 
 
 def get_std_stages(config):
     """Standard sweep: opt_view{0..V-1} then 'ref' (reference stages.py:58-89)."""
-    std_stages = {}
     n_views = len(config['base_views'])
+    epochs = int(config['epochs'])
 
+    std_stages = {}
     for view_idx in range(n_views):
         std_stages[f'opt_view{view_idx}'] = Stage(
+            on_open=_chain_previous_transform_checkpoint if view_idx else None,
             view_optimization_mode='opt-current-fix-previous',
-            epochs=int(config['epochs']),
+            epochs=epochs,
             use_affine_theta=True,
             do_output=True,
             n_active_views=view_idx + 1,
-            activate_fn=_chain_previous_transform_checkpoint if view_idx > 0 else None,
         )
 
-    # note: 'ref' deliberately has no activate_fn — it inherits the transform
-    # checkpoint key as-is (reference stages.py:76-82); with use_affine_theta=False
-    # the ATM weights are unused there anyway.
+    # 'ref' has no on_open hook: it inherits the transform checkpoint key as-is
+    # (reference stages.py:76-82); with use_affine_theta=False the ATM weights
+    # only supply the frozen learned orientations.
     std_stages['ref'] = Stage(
         do_output=True,
         view_optimization_mode='opt-none',
-        epochs=config['epochs'],
+        epochs=epochs,
         use_affine_theta=False,
         n_active_views=n_views,
     )
 
-    if config.get('stage_override') is not None:
-        selected = {k: v for k, v in std_stages.items()
-                    if config['stage_override'] == k}
-    else:
-        selected = std_stages
-    return StageIterator(selected, verbose=True)
+    override = config.get('stage_override')
+    if override is not None:
+        std_stages = {k: v for k, v in std_stages.items() if k == override}
+    return StageSweep(std_stages, verbose=True)
