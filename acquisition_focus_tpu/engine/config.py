@@ -74,12 +74,17 @@ DEFAULTS = DotDict(
     unet_remat=False,                # True: fully recompute U-Net skip/decoder stages
                                      # (False = policy remat: save bf16 conv outs only)
     mesh_shape=None,                 # e.g. {"data": 8}; None = single device
+    stop_at_epoch=None,              # pause a run early; schedules still span `epochs`
+    base_features=None,              # U-Net width plan override (None = reference)
+    locnet_width=None,               # localization-net width (None = reference 32)
     num_sa_slices=15,                # SA stack size in view-affine precompute
     metrics_every=20,                # heavy-metric cadence (reference run_dl.py:507)
     seed=0,
     log_dir="data/runs",
     debug_nans=False,                # jax_debug_nans anomaly detection
     segment_model_path=None,         # orbax ckpt for from-segmented modes
+    segment_extra_permute=True,      # MMWHS output transpose (reference nnU-Net
+                                     # axis workaround); False for in-framework ckpts
     centroid_ref_path=None,          # canonical heart label NIfTI (phantom default)
 )
 

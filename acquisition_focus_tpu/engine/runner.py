@@ -22,6 +22,8 @@ from acquisition_focus_tpu.engine.optimizers import (
     make_reconstruction_optimizer, make_transform_optimizer)
 from acquisition_focus_tpu.engine.train import (
     StageSpec, eval_step, init_params, make_models, train_step)
+from acquisition_focus_tpu.parallel.mesh import (
+    make_mesh, replicate, shard_batch, shard_params)
 from acquisition_focus_tpu.geometry.clinical_views import get_class_volumes
 from acquisition_focus_tpu.ops.affine import affine_zooms
 from acquisition_focus_tpu.utils.logging import RunLogger, get_global_idx
@@ -58,6 +60,9 @@ def spec_from_config(config, num_classes, n_active_views, phase='train'):
         model_type=config.get('model_type', 'hybrid-unet'),
         atm_remat=config.get('atm_remat', False),
         unet_remat=config.get('unet_remat', False),
+        base_features=tuple(config.get('base_features')
+                            or (16, 32, 64, 128, 256, 256)),
+        locnet_width=int(config.get('locnet_width') or 32),
     )
 
 
@@ -69,6 +74,15 @@ def n_active_views_for(config):
 
 def _to_device(batch):
     return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
+def _unflatten_like(template, leaves):
+    """Rebuild a structured pytree (e.g. an optax state with its NamedTuple
+    containers) from checkpointed plain leaves, using a freshly-initialized
+    state of identical structure as the treedef donor."""
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(l) for l in leaves])
 
 
 def _heavy_metric_epoch(config, epx):
@@ -93,22 +107,9 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
     spec = specs['train']
     unet, atms = make_models(spec)
 
-    # params init / checkpoint restore (reference run_dl.py:641-650)
+    # params init (reference run_dl.py:641-650)
     rng = jax.random.key(config.get('seed', 0))
     unet_params, atm_params = init_params(spec, rng, batch_size=1)
-    epx_start = 0
-    mdl_chk = config.get('model_checkpoint_path')
-    if mdl_chk and checkpoint_exists(mdl_chk):
-        ck = load_checkpoint(mdl_chk)
-        unet_params = ck['unet_params']
-        atm_params = ck['atm_params']
-        epx_start = int(ck.get('epoch', 0))
-        print(f"Loaded model checkpoint from {mdl_chk} (epoch {epx_start})")
-    trans_chk = config.get('transform_model_checkpoint_path')
-    if trans_chk and checkpoint_exists(trans_chk):
-        ck = load_checkpoint(trans_chk)
-        atm_params = ck['atm_params']
-        print(f"Loaded transform checkpoint from {trans_chk}")
 
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(unet_params))
     print(f"Reconstruction model params: {n_params / 1e6:.2f}M; "
@@ -131,16 +132,70 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
     recon_state = recon_opt.init(unet_params)
     trans_state = trans_opt.init(atm_params)
 
+    # full-state checkpoint restore: params, both optimizer states (incl. their
+    # count-based schedules), best-val quality, epoch — so a resumed run continues
+    # with the exact LR/moments and cannot clobber the previous best snapshot
+    # (reference saves model+optimizers+scheduler+scaler, run_dl.py:704-713)
+    epx_start = 0
     best_quality = float('inf')
+    mdl_chk = config.get('model_checkpoint_path')
+    if mdl_chk and checkpoint_exists(mdl_chk):
+        ck = load_checkpoint(mdl_chk)
+        unet_params = ck['unet_params']
+        atm_params = ck['atm_params']
+        if 'recon_opt_leaves' in ck:
+            recon_state = _unflatten_like(recon_state, ck['recon_opt_leaves'])
+            trans_state = _unflatten_like(trans_state, ck['trans_opt_leaves'])
+        if 'best_quality' in ck:
+            best_quality = float(ck['best_quality'])
+        epx_start = int(ck.get('epoch', -1)) + 1
+        print(f"Loaded checkpoint from {mdl_chk} (resuming at epoch {epx_start})")
+    trans_chk = config.get('transform_model_checkpoint_path')
+    if trans_chk and checkpoint_exists(trans_chk):
+        ck = load_checkpoint(trans_chk)
+        atm_params = ck['atm_params']
+        print(f"Loaded transform checkpoint from {trans_chk}")
+
+    # multi-chip: shard params/batches over the configured device mesh; XLA's SPMD
+    # partitioner inserts the collectives (new capability vs the reference's
+    # single-GPU loop, main_acquisition_focus.py:13-14)
+    mesh = make_mesh(config.get('mesh_shape'))
+    if mesh is not None:
+        data_size = mesh.shape.get('data', 1)
+        assert B % data_size == 0, (
+            f"batch_size {B} must be divisible by the data mesh axis {data_size}")
+        unet_params, atm_params = shard_params(unet_params, atm_params, mesh)
+        recon_state = replicate(recon_state, mesh)
+        trans_state = replicate(trans_state, mesh)
+        print(f"Training on mesh {dict(mesh.shape)} ({mesh.size} devices)")
+
+    def put_batch(batch, train):
+        if mesh is not None:
+            bsz = batch['label'].shape[1] if train else batch['label'].shape[0]
+            if bsz % mesh.shape.get('data', 1) == 0:
+                return shard_batch(batch, mesh, train=train)
+        return _to_device(batch)
+
     best_save_path = None
-    data_rng = np.random.default_rng(config.get('seed', 0) + fold_idx)
+    seed = config.get('seed', 0)
 
     out_dir = Path(base_dir) / 'data/output' / run_name
 
-    for epx in range(epx_start, config['epochs']):
+    seg_model, seg_params = _load_segmenter(config, num_classes)
+
+    # stop_at_epoch pauses a run early WITHOUT changing the schedules (which are
+    # functions of the full config['epochs']); resuming later with the same
+    # config continues bit-exactly where the paused run left off.
+    stop_epoch = config.get('stop_at_epoch') or config['epochs']
+
+    for epx in range(epx_start, stop_epoch):
         global_idx = get_global_idx(fold_idx, epx, config['epochs'])
         logger.log({'ref_epoch_idx': epx}, step=global_idx)
         epoch_t0 = time.time()
+        # epoch-keyed shuffling: deterministic regardless of where the run
+        # (re)started, so train(n) == train(k) + resume(n-k) exactly
+        data_rng = np.random.default_rng(
+            (seed + 1) * 1_000_003 + fold_idx * 1009 + epx)
 
         if not run_test_once_only:
             # ---- train ----
@@ -150,12 +205,12 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
             for sel, batch in training_dataset.iterate_train_macrobatches(
                     train_idxs, B, accum, data_rng):
                 step_key = jax.random.fold_in(
-                    jax.random.key(config.get('seed', 0)), global_idx * 10000 + n_steps)
+                    jax.random.key(seed), global_idx * 10000 + n_steps)
                 (unet_params, atm_params, recon_state, trans_state,
                  metrics, _) = train_step(
                     specs['train'], unet, atms, recon_opt, trans_opt,
                     unet_params, atm_params, recon_state, trans_state,
-                    _to_device(batch), step_key)
+                    put_batch(batch, train=True), step_key)
                 losses.append(float(metrics['loss']))
                 accumulate_label_scores(
                     t_metrics, 'dice', np.asarray(metrics['dice']),
@@ -168,7 +223,7 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
             val_loss = _eval_phase(
                 'val', specs['val'], unet, atms, unet_params, atm_params,
                 training_dataset, val_idxs, config, logger, global_idx, epx,
-                out_dir=None)
+                out_dir=None, seg=(seg_model, seg_params), put_batch=put_batch)
         else:
             train_loss, val_loss = float('nan'), float('nan')
 
@@ -176,7 +231,8 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
         test_out_dir = config.get('test_only_and_output_to') or None
         _eval_phase('test', specs['test'], unet, atms, unet_params, atm_params,
                     test_dataset, None, config, logger, global_idx, epx,
-                    out_dir=test_out_dir)
+                    out_dir=test_out_dir, seg=(seg_model, seg_params),
+                    put_batch=put_batch)
 
         print(f"epoch {epx}: train_loss={train_loss:.4f} val_loss={val_loss:.4f} "
               f"({time.time() - epoch_t0:.1f}s)")
@@ -184,11 +240,18 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
         if run_test_once_only:
             break
 
-        # ---- checkpointing (reference run_dl.py:692-730) ----
+        # ---- checkpointing (reference run_dl.py:692-730): full training state —
+        # params, both optimizer states (flattened to plain leaf lists so orbax
+        # round-trips them without optax's container types), best-val quality ----
         quality = val_loss
         save_every = config.get('save_every')
-        ckpt_state = dict(unet_params=unet_params, atm_params=atm_params,
-                          epoch=epx, loss=train_loss)
+        ckpt_state = dict(
+            unet_params=unet_params, atm_params=atm_params,
+            recon_opt_leaves=jax.tree_util.tree_leaves(recon_state),
+            trans_opt_leaves=jax.tree_util.tree_leaves(trans_state),
+            epoch=epx, loss=train_loss,
+            best_quality=min(best_quality, quality) if save_every == 'best'
+            else best_quality)
         if save_every == 'best':
             if quality < best_quality:
                 best_quality = quality
@@ -241,10 +304,13 @@ def _load_segmenter(config, num_classes):
 
 
 def _eval_phase(phase, spec, unet, atms, unet_params, atm_params, dataset, idxs,
-                config, logger, global_idx, epx, out_dir=None):
+                config, logger, global_idx, epx, out_dir=None, seg=(None, None),
+                put_batch=None):
     if dataset is None or len(dataset) == 0:
         return float('nan')
-    seg_model, seg_params = _load_segmenter(config, len(dataset.label_tags))
+    if put_batch is None:
+        put_batch = lambda b, train: _to_device(b)
+    seg_model, seg_params = seg
     collect_artifacts = bool(config.get('do_output')) and phase in ('val', 'test')
     epx_affines = {}
     epx_inputs = {}
@@ -261,7 +327,7 @@ def _eval_phase(phase, spec, unet, atms, unet_params, atm_params, dataset, idxs,
         with_aug = (phase in config.get('aug_phases', []) and
                     config.get('do_augment_input_orientation', False))
         out = eval_step(spec, unet, atms, unet_params, atm_params,
-                        _to_device(batch), rng, with_aug=with_aug,
+                        put_batch(batch, train=False), rng, with_aug=with_aug,
                         seg_model=seg_model, seg_params=seg_params)
         losses.append(float(out['loss']))
         accumulate_label_scores(scores, 'dice', np.asarray(out['dice']), eval_tags)

@@ -68,6 +68,10 @@ class StageSpec:
     # volumes/batches).
     atm_remat: bool = False
     unet_remat: bool = False
+    # model width plan (reference widths by default). The multi-chip dryrun uses
+    # skinny widths: identical program/sharding structure, ~50x fewer FLOPs.
+    base_features: Tuple[int, ...] = (16, 32, 64, 128, 256, 256)
+    locnet_width: int = 32
 
     @property
     def dtype(self):
@@ -92,13 +96,15 @@ def make_models(spec: StageSpec):
                                  use_epix2vox=spec.model_type == 'hybrid-EPix2Vox')
     else:
         recon = HybridUnet(n_views=spec.n_views, num_classes=spec.num_classes,
+                           base_features=tuple(spec.base_features),
                            dtype=spec.dtype, remat_skips=spec.unet_remat)
     unet = recon
     atms = StackedATMs(
         n_views=spec.n_views, optim_method=spec.optim_method,
         prescan_spat=spec.prescan_fov_vox[0],
         offset_clip_value=spec.offset_clip_value,
-        zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype)
+        zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype,
+        locnet_width=spec.locnet_width)
     return unet, atms
 
 
@@ -136,12 +142,18 @@ def prescan_kernel_in_scale(spec: StageSpec) -> bool:
     """Whether the prescan resample's affine scale fits the Pallas volume
     kernel's static bbox (~1.4 source voxels per output voxel): the static FOV
     ratio (e.g. 4x for 6mm/32-cube prescans from the 1.5mm hires volume) times
-    the worst-case augmentation zoom (1 + 0.2*strength)."""
+    the worst-case augmentation zoom. random_affine draws zoom uniform in
+    1 +- zoom_strength/2 (ops/rotations.py:107) and extract_view_slices passes
+    zoom_strength = 0.2*augment_strength, so the worst factor is
+    1 + 0.1*augment_strength. This static guard avoids even compiling the
+    kernel for configs that can never fit; in-scale configs additionally carry
+    a RUNTIME affine check with a gather fallback inside the jitted step
+    (nifti_grid_sample_nodiff -> kernel_scale_fits)."""
     fov_ratio = max(
         (pm / pv) / (hm / hv)
         for pm, pv, hm, hv in zip(spec.prescan_fov_mm, spec.prescan_fov_vox,
                                   spec.hires_fov_mm, spec.hires_fov_vox))
-    max_zoom = 1.0 + 0.2 * (spec.augment_strength if spec.augment_input else 0.0)
+    max_zoom = 1.0 + 0.1 * (spec.augment_strength if spec.augment_input else 0.0)
     return fov_ratio * max_zoom <= 1.4
 
 
@@ -208,7 +220,7 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
             prescan_spat=spec.prescan_fov_vox[0],
             offset_clip_value=spec.offset_clip_value,
             zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype,
-            remat=spec.atm_remat)
+            remat=spec.atm_remat, locnet_width=spec.locnet_width)
     else:
         thetas = jnp.broadcast_to(jnp.eye(4), (A, B, 4, 4)).astype(jnp.float32)
 

@@ -95,13 +95,15 @@ class AffineTransformModule(nn.Module):
     offset_clip_value: float = 0.2
     zoom_clip_value: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    locnet_width: int = 32
 
     @nn.compact
     def __call__(self, x_prescan):
         """x_prescan: (B, D, H, W, C) channels-last prescan volume. -> (B, 4, 4)."""
         ap_space, _ = _OPTIM_METHODS[self.optim_method]
         vox_range = vox_range_for_clip(self.offset_clip_value, self.prescan_spat)
-        head = LocalizationNet(ap_space + 3 * vox_range + 1, dtype=self.dtype)(x_prescan)
+        head = LocalizationNet(ap_space + 3 * vox_range + 1, dtype=self.dtype,
+                               width=self.locnet_width)(x_prescan)
         return atm_theta_from_heads(
             head, self.optim_method, self.prescan_spat,
             self.offset_clip_value, self.zoom_clip_value)
@@ -118,6 +120,7 @@ class StackedATMs(nn.Module):
     offset_clip_value: float = 0.2
     zoom_clip_value: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    locnet_width: int = 32
 
     @nn.compact
     def __call__(self, x_prescans):
@@ -133,13 +136,14 @@ class StackedATMs(nn.Module):
             offset_clip_value=self.offset_clip_value,
             zoom_clip_value=self.zoom_clip_value,
             dtype=self.dtype,
+            locnet_width=self.locnet_width,
             name='atms',
         )(x_prescans)
 
 
 def apply_stacked_atms(stacked_params, x_prescans, *, optim_method, prescan_spat,
                        offset_clip_value, zoom_clip_value, dtype=jnp.float32,
-                       remat=False):
+                       remat=False, locnet_width=32):
     """Apply StackedATMs params with a per-view Python loop instead of nn.vmap.
 
     XLA lowers the vmapped per-view conv stack to feature-group convolutions, which
@@ -161,7 +165,7 @@ def apply_stacked_atms(stacked_params, x_prescans, *, optim_method, prescan_spat
     module = AffineTransformModule(
         optim_method=optim_method, prescan_spat=prescan_spat,
         offset_clip_value=offset_clip_value, zoom_clip_value=zoom_clip_value,
-        dtype=dtype)
+        dtype=dtype, locnet_width=locnet_width)
     V = x_prescans.shape[0]
     inner = stacked_params['params']['atms']
 

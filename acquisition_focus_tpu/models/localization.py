@@ -132,12 +132,17 @@ class ConvNet(nn.Module):
     """Backbone: (B, D, H, W, C) -> (B, D/16, H/16, W/16, 1).
 
     use_s2d runs the 128^3/64^3 stages space-to-depth (exact rewrite, see module
-    docstring); parameters are identical either way."""
+    docstring); parameters are identical either way. ``width`` scales the channel
+    plan (reference plan = width 32: 32, 64 x5, 32 x2, 1 — learnable_transform.py:13-60);
+    smaller widths are used by the multi-chip dryrun to keep virtual-device CPU
+    execution fast while exercising the identical program structure."""
     dtype: jnp.dtype = jnp.float32
     use_s2d: bool = True
+    width: int = 32
 
     @nn.compact
     def __call__(self, x):
+        w1, w2 = self.width, 2 * self.width
         def block(x, features, name):
             # 'conv_out' names the (bf16) conv results for policy-based remat:
             # save these, recompute the f32 norm/activation in backward — the f32
@@ -161,18 +166,18 @@ class ConvNet(nn.Module):
         even = all(s % 2 == 0 for s in x.shape[1:4])
         if self.use_s2d and even:
             x = space_to_depth(x)
-            x = block_s2d(x, 32, 'Conv_0')
-            x = pool_from_s2d(x, 32)
+            x = block_s2d(x, w1, 'Conv_0')
+            x = pool_from_s2d(x, w1)
             x = space_to_depth(x)
-            x = block_s2d(x, 64, 'Conv_1')
-            x = block_s2d(x, 64, 'Conv_2')
-            x = pool_from_s2d(x, 64)
+            x = block_s2d(x, w2, 'Conv_1')
+            x = block_s2d(x, w2, 'Conv_2')
+            x = pool_from_s2d(x, w2)
         else:
-            x = pool(block(x, 32, 'Conv_0'))
-            x = pool(block(block(x, 64, 'Conv_1'), 64, 'Conv_2'))
-        x = pool(block(block(x, 64, 'Conv_3'), 64, 'Conv_4'))
-        x = pool(block(block(x, 64, 'Conv_5'), 32, 'Conv_6'))
-        x = block(x, 32, 'Conv_7')
+            x = pool(block(x, w1, 'Conv_0'))
+            x = pool(block(block(x, w2, 'Conv_1'), w2, 'Conv_2'))
+        x = pool(block(block(x, w2, 'Conv_3'), w2, 'Conv_4'))
+        x = pool(block(block(x, w2, 'Conv_5'), w1, 'Conv_6'))
+        x = block(x, w1, 'Conv_7')
         x = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name='Conv_8')(x)
         return instance_norm_stateless(x)
 
@@ -181,9 +186,10 @@ class LocalizationNet(nn.Module):
     """ConvNet backbone + dense head emitting ap_space + 3*vox_range + 1 params."""
     output_size: int
     dtype: jnp.dtype = jnp.float32
+    width: int = 32
 
     @nn.compact
     def __call__(self, x):
-        h = ConvNet(dtype=self.dtype)(x)
+        h = ConvNet(dtype=self.dtype, width=self.width)(x)
         h = h.reshape(h.shape[0], -1)
         return nn.Dense(self.output_size, dtype=jnp.float32)(h)
