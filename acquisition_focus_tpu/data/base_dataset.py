@@ -26,6 +26,31 @@ from acquisition_focus_tpu.ops.rotations import random_affine
 import jax
 
 
+def _prescan_quality(seg, gt, prescan_nii_affine, num_classes):
+    """Dice / HD95 of the segmented prescan against GT — the reference's build-time
+    quality gate for from-segmented runs (base_dataset.py:287-298). HD95 in mm via
+    the voxel-diagonal norm, matching the runner's eval convention."""
+    from acquisition_focus_tpu.engine.metrics import hausdorff_per_class
+    from acquisition_focus_tpu.ops.affine import affine_zooms
+    seg, gt = np.asarray(seg), np.asarray(gt)
+    dice = np.full(num_classes, np.nan)
+    for c in range(1, num_classes):
+        p, t = seg == c, gt == c
+        denom = p.sum() + t.sum()
+        if denom > 0:
+            dice[c] = 2.0 * np.logical_and(p, t).sum() / denom
+    zoom_norm = float(np.linalg.norm(np.asarray(
+        affine_zooms(jnp.asarray(prescan_nii_affine, jnp.float32)[None]))[0]))
+    hd95 = hausdorff_per_class(seg[None], gt[None], num_classes,
+                               percentile=95)[0] * zoom_norm
+    return {
+        'dice': dice, 'hd95': hd95,
+        'dice_mean': float(np.nanmean(dice[1:])),
+        'hd95_mean': (float(np.nanmean(hd95[1:]))
+                      if np.any(~np.isnan(hd95[1:])) else float('nan')),
+    }
+
+
 class BaseDataset:
     label_tags = ("background", "MYO", "LV", "RV", "LA", "RA")
 
@@ -161,27 +186,40 @@ class BaseDataset:
             case['prescan_gt'] = np.asarray(prescan_lbl[0, 0], np.int32)
             case['prescan_nii_affine'] = np.asarray(prescan_nii[0], np.float64)
 
-            if cfg.get('clinical_view_affine_type') == 'from-segmented' \
-                    and self.segment_fn is not None:
+            if cfg.get('clinical_view_affine_type') == 'from-segmented':
+                assert self.segment_fn is not None, (
+                    "clinical_view_affine_type='from-segmented' needs a segmenter: "
+                    "configure segment_model_path (set_segment_fn was not wired)")
                 prescan_img, _, _ = nifti_grid_sample(
                     jnp.asarray(hires_img)[None, None],
                     jnp.asarray(hires_nii, jnp.float32)[None],
                     prescan_mm, prescan_vox, is_label=False)
-                seg = self.segment_fn(np.asarray(prescan_img[0, 0]),
-                                      case['prescan_nii_affine'])
-                case['prescan_label'] = seg.astype(np.int32)
+                seg = np.asarray(self.segment_fn(
+                    np.asarray(prescan_img[0, 0]),
+                    case['prescan_nii_affine']), np.int32)
+                case['prescan_label'] = seg
                 prescan_views = get_clinical_cardiac_view_affines(
                     seg, case['prescan_nii_affine'], class_dict,
                     num_sa_slices=cfg.get('num_sa_slices', 15), return_unrolled=True)
+                # canonical base from the *segmented prescan* (reference
+                # base_dataset.py:276-281 — NOT from the GT hires label)
                 prescan_views['centroids'] = np.asarray(
-                    register_centroids(ref_heart, hires_lbl, dof=6,
+                    register_centroids(ref_heart, seg, dof=6,
                                        seed=cfg.get('seed', 0)), np.float64)
                 case['prescan_view_affines'] = prescan_views
+                # prescan quality gate vs GT (reference base_dataset.py:287-298)
+                case['prescan_quality'] = _prescan_quality(
+                    seg, case['prescan_gt'], case['prescan_nii_affine'],
+                    len(self.label_tags))
+                print(f"  {fid} prescan dice="
+                      f"{case['prescan_quality']['dice_mean']:.3f} hd95="
+                      f"{case['prescan_quality']['hd95_mean']:.2f}mm")
             else:
                 case['prescan_label'] = case['prescan_gt']
                 prescan_views = get_clinical_cardiac_view_affines(
                     case['prescan_label'], case['prescan_nii_affine'], class_dict,
                     num_sa_slices=cfg.get('num_sa_slices', 15), return_unrolled=True)
+                prescan_views['centroids'] = view_affines['centroids']
                 case['prescan_view_affines'] = prescan_views
 
             case['gt_view_affines'] = view_affines
@@ -189,8 +227,13 @@ class BaseDataset:
 
             # — TPU precompute: centroid-reoriented training volume + per-view input
             #   grid affines (the reference recomputes these per step,
-            #   run_dl.py:238-259,266-279) —
-            base = view_affines['centroids']
+            #   run_dl.py:238-259,266-279). The chosen view-affine source — GT or
+            #   segmented prescan — supplies BOTH the canonical base and the view
+            #   planes (reference run_dl.py:243-248) —
+            chosen_views = (case['prescan_view_affines']
+                            if cfg.get('clinical_view_affine_type')
+                            == 'from-segmented' else view_affines)
+            base = chosen_views['centroids']
             r_lbl, _, r_nii = nifti_grid_sample(
                 jnp.asarray(case_label)[None, None],
                 jnp.asarray(hires_nii, jnp.float32)[None],
@@ -204,27 +247,25 @@ class BaseDataset:
             case['label'] = np.asarray(r_lbl[0, 0], np.int32)
             case['image'] = np.asarray(r_img[0, 0], np.float32)
             case['nii_affine'] = np.asarray(r_nii[0], np.float32)
-            case['input_view_affines'] = self._input_view_affines(view_affines)
+            case['input_view_affines'] = self._input_view_affines(chosen_views)
 
             self.cases[self.extract_3d_id(fid)] = case
 
-    def _input_view_affines(self, view_affines):
+    def _input_view_affines(self, chosen_views):
         """(V, 4, 4) input grid affines for the configured base views:
-        inv(centroid base) @ view affine; 'RND' views get a fixed strong random
-        rotation (reference run_dl.py:227-234, learnable_transform.py:133)."""
+        inv(centroid base) @ view affine, both taken from the chosen source dict
+        (GT or segmented-prescan, reference run_dl.py:227-234,243-248); 'RND'
+        views get a fixed strong random rotation (learnable_transform.py:133)."""
         cfg = self.config
-        base = view_affines['centroids']
-        base_inv = np.linalg.inv(base)
+        base_inv = np.linalg.inv(chosen_views['centroids'])
         affs = []
-        source = (view_affines if cfg.get('clinical_view_affine_type', 'from-gt')
-                  == 'from-gt' else None)
         for v_idx, name in enumerate(cfg['base_views']):
             if name == 'RND':
                 aff = np.asarray(random_affine(
                     jax.random.key(cfg.get('seed', 0) + 1000 + v_idx),
                     rotation_strength=4.0, zoom_strength=0.0), np.float64)
             else:
-                aff = base_inv @ np.asarray(view_affines[name], np.float64)
+                aff = base_inv @ np.asarray(chosen_views[name], np.float64)
             affs.append(aff)
         return np.stack(affs).astype(np.float32)
 

@@ -13,8 +13,22 @@ from pathlib import Path
 _CACHE_KEYS = (
     'hires_fov_mm', 'hires_fov_vox', 'prescan_fov_mm', 'prescan_fov_vox',
     'clinical_view_affine_type', 'use_binarized_labels', 'base_views',
-    'num_sa_slices', 'seed', 'centroid_ref_path',
+    'num_sa_slices', 'seed', 'centroid_ref_path', 'segment_model_path',
+    'segment_extra_permute',
 )
+
+
+def _build(dataset_cls, data_base_dir, config, state, debug):
+    """Construct + load a dataset, wiring the frozen segmenter BEFORE the load so
+    from-segmented precompute actually segments (reference base_dataset.py:44
+    calls set_segment_fn(fold_idx=0) at __init__ before load_data)."""
+    ds = dataset_cls(data_base_dir, config, state='empty', debug=debug)
+    if config.get('clinical_view_affine_type') == 'from-segmented':
+        ds.set_segment_fn(fold_idx=0)
+    ds.state = state
+    if state != 'empty':
+        ds._load()
+    return ds
 
 
 def _fingerprint(data_base_dir, config, state):
@@ -31,7 +45,7 @@ def _fingerprint(data_base_dir, config, state):
 def load_or_build(dataset_cls, data_base_dir, config, state, cache_dir='.cache',
                   debug=False):
     if not config.get('use_caching', True) or state == 'empty':
-        return dataset_cls(data_base_dir, config, state=state, debug=debug)
+        return _build(dataset_cls, data_base_dir, config, state, debug)
 
     cache_path = Path(cache_dir) / (
         f"{dataset_cls.__name__}_{_fingerprint(data_base_dir, config, state)}.pkl")
@@ -43,7 +57,7 @@ def load_or_build(dataset_cls, data_base_dir, config, state, cache_dir='.cache',
         ds.cases = cases
         return ds
 
-    ds = dataset_cls(data_base_dir, config, state=state, debug=debug)
+    ds = _build(dataset_cls, data_base_dir, config, state, debug)
     cache_path.parent.mkdir(parents=True, exist_ok=True)
     with open(cache_path, 'wb') as f:
         pickle.dump(ds.cases, f)

@@ -20,6 +20,11 @@ class MMWHSDataset(BaseDataset):
 
     def set_segment_fn(self, fold_idx):
         from acquisition_focus_tpu.engine.segmenter import make_segment_fn
+        # extra_permute defaults True: the reference's MMWHS axis workaround for
+        # its external nnU-Net checkpoints (mmwhs_dataset.py:48-50). In-framework
+        # segmenters (scripts/train_segmenter.py) share this package's axis
+        # convention and need no permute — set segment_extra_permute=false.
         self.segment_fn = make_segment_fn(
             self.config.get('segment_model_path'), fold_idx,
-            num_classes=6, extra_permute=True)
+            num_classes=6,
+            extra_permute=bool(self.config.get('segment_extra_permute', True)))

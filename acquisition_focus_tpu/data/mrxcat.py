@@ -29,11 +29,11 @@ class MRXCATDataset(BaseDataset):
             num_classes=6, extra_permute=False)
 
 
-DATASET_REGISTRY = {}
-
-
 def get_dataset_class(name):
     from acquisition_focus_tpu.data.mmwhs import MMWHSDataset
+    # 'synthetic' resolves to MMWHSDataset because the phantom writer
+    # (data/synthetic.py: write_phantom_dataset) emits MMWHS-style file names
+    # and split JSON on purpose — the synthetic set is an MMWHS stand-in.
     registry = {'mmwhs': MMWHSDataset, 'mrxcat': MRXCATDataset,
                 'synthetic': MMWHSDataset}
     return registry[name]

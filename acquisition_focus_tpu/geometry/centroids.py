@@ -38,9 +38,11 @@ def register_centroids(fixed_label, moving_label, dof=6, iters=500, lr=0.05, see
     assert dof in (6, 7)
     fixed_label = np.asarray(fixed_label)
     moving_label = np.asarray(moving_label)
-    assert fixed_label.shape == moving_label.shape
-    shp = fixed_label.shape
-    assert shp[0] == shp[1] == shp[2]
+    # Shapes may differ (e.g. a 32-cube segmented prescan registered to the
+    # 128-cube reference heart): centers are normalized to [-1, 1] grid space by
+    # each volume's own shape, so only cubicity matters.
+    assert fixed_label.shape[0] == fixed_label.shape[1] == fixed_label.shape[2]
+    assert moving_label.shape[0] == moving_label.shape[1] == moving_label.shape[2]
 
     common = sorted(set(np.unique(fixed_label)) & set(np.unique(moving_label)))
     common = [c for c in common if c != 0]
