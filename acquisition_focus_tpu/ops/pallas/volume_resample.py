@@ -62,6 +62,23 @@ def supports_affine_volume_resample(in_dhw, out_dhw, C):
     return ok_in and ok_out and C <= C8
 
 
+def kernel_scale_fits(theta, out_dhw, in_dhw):
+    """Traced runtime guard: does every affine's 8-cube tile image fit the static
+    bbox, including floor/corner (+2) and DMA alignment slack (y origins round
+    down to 8 voxels: +7; x to 16: +15)?
+
+    The per-source-axis extent of a tile is (TILE-1) * (|cd_r|+|ch_r|+|cw_r|)
+    from the affine coefficients — the exact quantity the kernel's corner_min
+    DMA-origin math sees, so this is tight where the static config heuristic
+    (engine.train.prescan_kernel_in_scale) is only a worst-case bound.
+    Returns a scalar bool for use with ``lax.cond``.
+    """
+    coefs = _coeffs_from_theta(theta, out_dhw, in_dhw)        # rows: x, y, z
+    ext = (TILE - 1) * jnp.abs(coefs[:, :, 1:]).sum(-1)       # (T, 3)
+    return jnp.all((ext[:, 2] <= BZ - 3) & (ext[:, 1] <= BY - 10)
+                   & (ext[:, 0] <= BX - 18))
+
+
 def _coeffs_from_theta(theta, out_dhw, in_dhw):
     """(T, 3, 4) f32 affine coefficients mapping output voxel (d, h, w) to
     continuous source voxel coords (ix, iy, iz):

@@ -146,6 +146,14 @@ def grid_sample(volume, theta, out_dhw, mode='trilinear'):
     # than the worst-case clone divergence (a few f32 ulps at coordinate
     # magnitude <= ~256 voxels) makes every clone pick the SAME cell, and the
     # clamped fraction bounds the residual weight error by the nudge (6e-5).
+    #
+    # Gradient-at-knot caveat: the clamp max(i - i0, 0) zeroes d(out)/d(coord)
+    # for coordinates within 2^-14 BELOW an integer, and exact integers take
+    # the floor's one-sided subgradient — torch's grid_sample picks the other
+    # convention at ties. This only bites theta gradients (the ATM slicing
+    # path) when a sample sits exactly on a voxel knot — measure-zero under
+    # the random augmentations, systematic only for exactly axis-aligned
+    # identity view affines, where the true derivative is discontinuous anyway.
     eps = jnp.asarray(2.0 ** -14, cdtype)
     x0 = jnp.floor(ix + eps)
     y0 = jnp.floor(iy + eps)
@@ -281,21 +289,32 @@ def nifti_grid_sample(volume, nii_affine, target_fov_mm=None, target_fov_vox=Non
 
 def nifti_grid_sample_nodiff(volume, nii_affine, target_fov_mm=None,
                              target_fov_vox=None, is_label=False,
-                             pre_grid_sample_affine=None):
+                             pre_grid_sample_affine=None, force_kernel=None):
     """Forward-only :func:`nifti_grid_sample` with a fast TPU path.
 
     Identical semantics/geometry, but NOT differentiable: on TPU, supported
     trilinear resamples run through the Pallas bbox-DMA MXU kernel
     (ops.pallas.volume_resample — measured ~4x the XLA gather path on the
     prescan workload); everything else falls back to :func:`nifti_grid_sample`.
+    The kernel's bbox-coverage precondition is additionally checked at RUNTIME
+    against the actual grid-affine coefficients (``kernel_scale_fits``): an
+    out-of-scale affine — e.g. a dataset whose nii spacing disagrees with the
+    configured FOV, or view affines carrying zoom/shear — takes the exact gather
+    branch of a ``lax.cond`` instead of silently clamping the kernel's bbox.
     Call sites must be under ``stop_gradient`` (the prescan resample feeding the
     localization nets, reference learnable_transform.py:248-255).
+
+    ``force_kernel=True`` skips the backend check (tests drive the kernel glue in
+    Pallas interpret mode on CPU); ``None`` = auto.
     """
     from acquisition_focus_tpu.ops.pallas.volume_resample import (
-        affine_volume_resample_pallas, supports_affine_volume_resample)
+        affine_volume_resample_pallas, kernel_scale_fits,
+        supports_affine_volume_resample)
 
     B, C, D, H, W = volume.shape
-    use_kernel = (not is_label and jax.default_backend() == 'tpu'
+    on_tpu = jax.default_backend() == 'tpu' if force_kernel is None \
+        else bool(force_kernel)
+    use_kernel = (not is_label and on_tpu
                   and target_fov_vox is not None
                   and supports_affine_volume_resample(
                       (D, H, W), tuple(int(v) for v in target_fov_vox), C))
@@ -305,6 +324,11 @@ def nifti_grid_sample_nodiff(volume, nii_affine, target_fov_mm=None,
                                  pre_grid_sample_affine)
 
     target_fov_vox = tuple(int(v) for v in target_fov_vox)
+    if target_fov_mm is None:
+        # same default as nifti_grid_sample: keep the input physical extent
+        from acquisition_focus_tpu.ops.affine import affine_zooms
+        target_fov_mm = affine_zooms(nii_affine) * jnp.asarray(
+            (D, H, W), nii_affine.dtype)
     affine_nii = nii_affine
     if pre_grid_sample_affine is not None \
             and pre_grid_sample_affine.shape[0] != nii_affine.shape[0]:
@@ -321,8 +345,18 @@ def nifti_grid_sample_nodiff(volume, nii_affine, target_fov_mm=None,
     if not jnp.issubdtype(in_dtype, jnp.floating):
         volume = volume.astype(jnp.float32)
     min_value = volume.min()
-    out = affine_volume_resample_pallas(
-        volume - min_value, grid_affine, target_fov_vox) + min_value
+
+    def kernel_branch(v):
+        return affine_volume_resample_pallas(
+            v - min_value, grid_affine, target_fov_vox) + min_value
+
+    def gather_branch(v):
+        return grid_sample(v - min_value, grid_affine, target_fov_vox,
+                           mode='trilinear') + min_value
+
+    out = jax.lax.cond(
+        kernel_scale_fits(grid_affine, target_fov_vox, (D, H, W)),
+        kernel_branch, gather_branch, volume)
     return out.astype(in_dtype), grid_affine, out_nii
 
 

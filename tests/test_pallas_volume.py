@@ -105,3 +105,68 @@ class TestAffineVolumeResamplePallas:
             (128, 128, 128), (130,) * 3, 6)
         assert not vr.supports_affine_volume_resample(
             (128, 128, 128), (128,) * 3, 12)
+
+
+class TestNodiffWrapperGlue:
+    """The nifti_grid_sample_nodiff kernel path (min-value shift, nii/fov tiling,
+    dtype handling, fov_mm default, runtime scale guard) driven on CPU via
+    force_kernel=True + interpret mode — ADVICE r1: previously only the raw
+    kernel and the gather fallback were tested, never the glue between them."""
+
+    def _vol_nii(self, rng, B=1, C=2):
+        from acquisition_focus_tpu.ops.resample import nifti_grid_sample
+        vol = jnp.asarray(10.0 + rng.normal(size=(B, C) + DHW), jnp.float32)
+        nii = np.eye(4)
+        nii[:3, :3] *= 1.5   # 1.5 mm iso spacing
+        nii = jnp.asarray(np.broadcast_to(nii, (B, 4, 4)), jnp.float32)
+        return vol, nii, nifti_grid_sample
+
+    def test_kernel_glue_matches_diff_path(self, rng):
+        from acquisition_focus_tpu.ops.resample import nifti_grid_sample_nodiff
+        vol, nii, nifti_grid_sample = self._vol_nii(rng)
+        pre = jnp.asarray(rotation_theta(rng, scale=1.0, offset=0.05)[None],
+                          jnp.float32)
+        kw = dict(target_fov_mm=(36.0, 48.0, 72.0), target_fov_vox=OUT,
+                  pre_grid_sample_affine=pre)
+        ref, ref_aff, ref_nii = nifti_grid_sample(vol, nii, **kw)
+        out, out_aff, out_nii = nifti_grid_sample_nodiff(
+            vol, nii, force_kernel=True, **kw)
+        np.testing.assert_allclose(np.asarray(out_aff), np.asarray(ref_aff),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_nii), np.asarray(ref_nii),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_kernel_glue_fov_mm_default(self, rng):
+        """fov_mm=None must mean 'keep the physical extent' on the kernel path
+        too (ADVICE r1: used to crash in grid_affines_for_fov)."""
+        from acquisition_focus_tpu.ops.resample import nifti_grid_sample_nodiff
+        vol, nii, nifti_grid_sample = self._vol_nii(rng)
+        ref, _, _ = nifti_grid_sample(vol, nii, target_fov_vox=OUT)
+        out, _, _ = nifti_grid_sample_nodiff(vol, nii, target_fov_vox=OUT,
+                                             force_kernel=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_out_of_scale_affine_takes_gather_branch(self, rng):
+        """A zoomed-out affine beyond the kernel's static bbox must route to the
+        exact gather branch of the lax.cond (not silently clamp the bbox)."""
+        from acquisition_focus_tpu.ops.resample import nifti_grid_sample_nodiff
+        vol, nii, nifti_grid_sample = self._vol_nii(rng)
+        # 2x the source extent per output voxel: far beyond the ~1.4 bbox bound
+        kw = dict(target_fov_mm=(72.0, 96.0, 144.0), target_fov_vox=OUT)
+        ref, _, _ = nifti_grid_sample(vol, nii, **kw)
+        out, _, _ = nifti_grid_sample_nodiff(vol, nii, force_kernel=True, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_int_label_dtype_roundtrip(self, rng):
+        from acquisition_focus_tpu.ops.resample import nifti_grid_sample_nodiff
+        vol, nii, nifti_grid_sample = self._vol_nii(rng)
+        ivol = jnp.asarray(np.asarray(vol) > 10.0, jnp.int32)
+        kw = dict(target_fov_mm=(36.0, 48.0, 72.0), target_fov_vox=OUT)
+        ref, _, _ = nifti_grid_sample(ivol, nii, is_label=True, **kw)
+        out, _, _ = nifti_grid_sample_nodiff(ivol, nii, is_label=True,
+                                             force_kernel=True, **kw)
+        # is_label resamples run nearest-neighbor through the gather path on
+        # both sides (the kernel never handles labels)
+        assert out.dtype == ref.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
