@@ -1,0 +1,235 @@
+"""Full end-to-end phantom training on the real TPU chip.
+
+Runs the complete 3-view stage sweep (opt_view0..2 + ref) at production scale
+(128^3 @ 192 mm, bf16 compute, batch 2 x accum 2) on the synthetic heart phantom,
+then collects the round's training-result artifacts under ``artifacts/e2e_phantom``:
+
+- ``metrics_stage-*.jsonl``  — the per-stage metric streams (loss + Dice curves),
+- ``training_curves.png``    — loss / val-Dice curves across the sweep,
+- ``summary.json``           — final per-class test Dice + epoch wall-clocks,
+- ``affines_final.pkl``      — the learned per-view grid affines of the last epoch
+  (input to utils/visualize.plot_learned_planes).
+
+This is the evidence artifact for the "convergent end-to-end run" axis: it
+exercises stages, checkpoint chaining, eval cadence, artifact dumps, and the
+Dice metric pipeline on real hardware (reference training recipe:
+/root/reference/config_dict.json:2-8, stage machinery running/stages.py:58-89).
+"""
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from acquisition_focus_tpu.data.synthetic import write_phantom_dataset  # noqa: E402
+
+
+def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
+        data_dir=None, out_dir=None, compute_dtype="bfloat16"):
+    data_dir = Path(data_dir or REPO / ".cache/e2e_phantom_data")
+    out_dir = Path(out_dir or REPO / "artifacts/e2e_phantom")
+    run_root = REPO / ".cache/e2e_phantom_run"
+    run_root.mkdir(parents=True, exist_ok=True)
+
+    if not (data_dir / "metadata/data_split.json").exists():
+        print("writing phantom dataset ...", flush=True)
+        write_phantom_dataset(data_dir, n_cases=n_cases, shape=(96, 96, 96))
+
+    fov = float(spat) * 1.5
+    cfg = dict(
+        dataset=["synthetic", str(data_dir)],
+        epochs=epochs, batch_size=2, num_grad_accum_steps=2, val_batch_size=1,
+        base_views=list(views),
+        hires_fov_mm=[fov] * 3, hires_fov_vox=[spat] * 3,
+        slice_fov_mm=[fov, fov, 1.5], slice_fov_vox=[spat, spat, 1],
+        prescan_fov_mm=[fov] * 3, prescan_fov_vox=[spat] * 3,
+        num_folds=3, fold_override=0,
+        compute_dtype=compute_dtype, num_sa_slices=15,
+        log_dir=str(run_root / "runs"), mdl_save_prefix=str(run_root / "models"),
+        metrics_every=5, save_every="best", do_output=True,
+        use_caching=True,
+    )
+    cfg_path = run_root / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    t0 = time.time()
+    import main as cli
+    cli.main(["--config_path", str(cfg_path), "--base_dir", str(run_root)])
+    wall = time.time() - t0
+    print(f"sweep done in {wall / 60:.1f} min", flush=True)
+
+    collect_artifacts(run_root, out_dir, wall)
+
+
+def _read_jsonl(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+def collect_artifacts(run_root, out_dir, wall_s=None):
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    run_dirs = sorted((Path(run_root) / "runs").glob("*_stage-*"))
+    stages = {}
+    for rd in run_dirs:
+        stage = rd.name.split("_stage-")[-1]
+        if (rd / "metrics.jsonl").exists():
+            stages[stage] = _read_jsonl(rd / "metrics.jsonl")
+            shutil.copy(rd / "metrics.jsonl", out_dir / f"metrics_stage-{stage}.jsonl")
+
+    # last-epoch learned affines from the final run that dumped artifacts
+    affines_pkl = None
+    for rd in reversed(run_dirs):
+        pkls = sorted(rd.glob("artifacts/affines_*val*.pkl")) or \
+            sorted(rd.glob("artifacts/affines_*.pkl"))
+        if pkls:
+            shutil.copy(pkls[-1], out_dir / "affines_final.pkl")
+            affines_pkl = pkls[-1]
+            break
+
+    if affines_pkl is not None:
+        try:
+            plot_planes(run_root, affines_pkl, out_dir / "learned_planes.png")
+        except Exception as e:  # rendering must never sink the artifact pass
+            print(f"learned-plane render failed: {e}")
+
+    plot_curves(stages, out_dir / "training_curves.png")
+
+    summary = {"wall_s": wall_s, "stages": {}}
+    for stage, recs in stages.items():
+        final = {}
+        for rec in recs:
+            for k, v in rec.items():
+                if k.startswith(("losses/", "scores/")):
+                    final[k] = v
+        summary["stages"][stage] = {
+            "final_train_loss": final.get("losses/train_loss"),
+            "final_val_loss": final.get("losses/val_loss"),
+            "final_val_dice_oa": final.get(
+                "scores/val_mean_oa_exclude_bg_dice"),
+            "final_test_dice_oa": final.get(
+                "scores/test_mean_oa_exclude_bg_dice"),
+            "final_test_dice_per_class": {
+                k.rsplit("_", 1)[-1]: v for k, v in final.items()
+                if k.startswith("scores/test_mean_dice_")},
+        }
+    (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2))
+
+
+def plot_planes(run_root, affines_pkl, png_path):
+    """3D learned-planes-in-heart figure for the first dumped case (the
+    matplotlib stand-in for reference visualize_mmwhs.ipynb cells 5-13)."""
+    import pickle
+
+    from acquisition_focus_tpu.data.cache import load_or_build
+    from acquisition_focus_tpu.data.mrxcat import get_dataset_class
+    from acquisition_focus_tpu.engine.config import load_config
+    from acquisition_focus_tpu.utils.visualize import plot_learned_planes
+
+    cfg = load_config(str(Path(run_root) / "config.json"))
+    with open(affines_pkl, "rb") as f:
+        affines = pickle.load(f)
+    ds = load_or_build(get_dataset_class(cfg["dataset"][0]), cfg["dataset"][1],
+                       cfg, state="train")
+    case_id = next(cid for cid in affines if cid in ds.cases)
+    case = ds.cases[case_id]
+    plot_learned_planes(
+        case["label"], case["nii_affine"], affines[case_id], png_path,
+        view_names=list(cfg["base_views"]),
+        slice_shape=tuple(cfg["slice_fov_vox"][:2]))
+    print(f"wrote {png_path} (case {case_id})")
+
+
+def plot_curves(stages, png_path):
+    """Two stacked panels (loss / val Dice), stages laid out on one global epoch
+    axis with boundary markers. No dual axes; palette + mark specs per the
+    dataviz conventions."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    SURFACE, INK, INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
+    C_TRAIN, C_VAL, C_DICE = "#2a78d6", "#eb6834", "#1baf7a"
+
+    order = sorted(stages, key=lambda s: (s == "ref", s))  # opt_view0.. then ref
+    series = {"train_loss": [], "val_loss": [], "val_dice": []}
+    bounds, labels, x0 = [], [], 0
+    for stage in order:
+        per_epoch = {}
+        for rec in stages[stage]:
+            step = rec.get("step")
+            if step is None:
+                continue
+            d = per_epoch.setdefault(step, {})
+            for key, name in (("losses/train_loss", "train_loss"),
+                              ("losses/val_loss", "val_loss"),
+                              ("scores/val_mean_oa_exclude_bg_dice", "val_dice")):
+                if key in rec:
+                    d[name] = rec[key]
+        n = 0
+        for i, step in enumerate(sorted(per_epoch)):
+            for name in series:
+                if name in per_epoch[step]:
+                    series[name].append((x0 + i, per_epoch[step][name]))
+            n = i + 1
+        bounds.append((x0, x0 + n))
+        labels.append(stage)
+        x0 += n
+
+    fig, (ax1, ax2) = plt.subplots(
+        2, 1, figsize=(9, 5.6), sharex=True, facecolor=SURFACE,
+        gridspec_kw={"hspace": 0.12})
+    for ax in (ax1, ax2):
+        ax.set_facecolor(SURFACE)
+        for side in ("top", "right"):
+            ax.spines[side].set_visible(False)
+        for side in ("left", "bottom"):
+            ax.spines[side].set_color(INK2)
+        ax.grid(True, axis="y", color=INK2, alpha=0.15, linewidth=0.6)
+        ax.tick_params(colors=INK2, labelsize=8)
+        for (lo, hi), name in zip(bounds, labels):
+            ax.axvline(lo, color=INK2, alpha=0.3, linewidth=0.8)
+    for (lo, hi), name in zip(bounds, labels):
+        ax1.text((lo + hi) / 2, 1.02, name, transform=ax1.get_xaxis_transform(),
+                 ha="center", fontsize=8, color=INK2)
+
+    def plot(ax, name, color, label):
+        pts = series[name]
+        if pts:
+            xs, ys = zip(*pts)
+            ax.plot(xs, ys, color=color, linewidth=2, label=label)
+
+    plot(ax1, "train_loss", C_TRAIN, "train loss")
+    plot(ax1, "val_loss", C_VAL, "val loss")
+    ax1.set_ylabel("DC+CE loss", fontsize=9, color=INK)
+    ax1.legend(frameon=False, fontsize=8, labelcolor=INK, loc="upper right")
+
+    plot(ax2, "val_dice", C_DICE, "val Dice (mean, excl. bg)")
+    ax2.set_ylabel("Dice", fontsize=9, color=INK)
+    ax2.set_ylim(0, 1)
+    ax2.set_xlabel("epoch (stage-sweep global)", fontsize=9, color=INK)
+    ax2.legend(frameon=False, fontsize=8, labelcolor=INK, loc="upper left")
+
+    fig.suptitle("Phantom end-to-end stage sweep (TPU, bf16, 128³)",
+                 fontsize=10, color=INK, y=0.99)
+    fig.savefig(png_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    print(f"wrote {png_path}")
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--collect_only", default=None,
+                   help="skip training; collect artifacts from this run root")
+    a = p.parse_args()
+    if a.collect_only:
+        collect_artifacts(a.collect_only, REPO / "artifacts/e2e_phantom")
+    else:
+        run(epochs=a.epochs)
