@@ -82,9 +82,19 @@ def main():
     p.add_argument('--multires', action='store_true',
                    help='add discrete low-res simulation (GIN_MultiRes)')
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--spat', type=int, default=None,
+                   help='override hires/prescan FOV to spat voxels @ 1.5 mm '
+                        '(use the smoke configs\' 32 to train at smoke scale)')
     args = p.parse_args()
 
-    config = load_config(overrides={'dataset': [args.dataset, args.data_dir]})
+    overrides = {'dataset': [args.dataset, args.data_dir]}
+    if args.spat:
+        fov = args.spat * 1.5
+        overrides.update(
+            hires_fov_mm=[fov] * 3, hires_fov_vox=[args.spat] * 3,
+            prescan_fov_mm=[fov] * 3, prescan_fov_vox=[args.spat] * 3,
+            slice_fov_mm=[fov, fov, 1.5], slice_fov_vox=[args.spat, args.spat, 1])
+    config = load_config(overrides=overrides)
     ds = load_or_build(get_dataset_class(args.dataset), args.data_dir, config,
                        state='train')
     num_classes = len(ds.label_tags)
