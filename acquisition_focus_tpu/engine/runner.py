@@ -234,8 +234,15 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
                     out_dir=test_out_dir, seg=(seg_model, seg_params),
                     put_batch=put_batch)
 
+        epoch_s = time.time() - epoch_t0
+        # epoch wall-clock incl. host batching + eval cadence — the BASELINE.json
+        # north-star metric; consumed by bench_epoch.py from metrics.jsonl
+        perf = {'perf/epoch_s': epoch_s}
+        if not run_test_once_only:
+            perf['perf/train_slices'] = n_steps * accum * B * spec.n_views
+        logger.log(perf, step=global_idx)
         print(f"epoch {epx}: train_loss={train_loss:.4f} val_loss={val_loss:.4f} "
-              f"({time.time() - epoch_t0:.1f}s)")
+              f"({epoch_s:.1f}s)")
 
         if run_test_once_only:
             break
