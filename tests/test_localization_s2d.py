@@ -2,6 +2,7 @@
 (same parameter tree, same math, different blocking — see models/localization.py)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +27,7 @@ def test_s2d_conv_matches_plain_conv(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_s2d_param_tree_matches_plain(rng):
     x = jnp.zeros((1, 16, 16, 16, 3))
     p_plain = ConvNet(use_s2d=False).init(jax.random.key(0), x)

@@ -1,6 +1,7 @@
 """Model stack tests: ATM theta heads, stacked ATMs, hybrid U-Net forward/backward."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ class TestThetaHeads:
         assert (zooms > 0.49).all() and (zooms < 1.51).all()
 
 
+@pytest.mark.slow
 class TestStackedATMs:
     def test_shapes_and_grouping(self, rng):
         V, B, S, C = 3, 2, 32, 6
@@ -67,6 +69,7 @@ class TestStackedATMs:
         assert np.abs(thetas[0] - thetas[1]).max() > 1e-4
 
 
+@pytest.mark.slow
 class TestHybridUnet:
     def test_forward_backward(self, rng):
         V, C, S, B = 2, 3, 32, 1

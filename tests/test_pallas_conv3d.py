@@ -27,6 +27,7 @@ def xla_conv(x, w):
         dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
 
 
+@pytest.mark.slow
 class TestConv3dPallas:
     def test_forward_parity_f32(self, rng):
         B, D, H, W, Ci, Co = 1, 8, 8, 128, 5, 7
