@@ -19,12 +19,26 @@ def save_checkpoint(path, state):
 
 def load_checkpoint(path, item=None):
     """Load a pytree checkpoint; ``item`` optionally provides the reference
-    structure (with shapes/dtypes) for restoration."""
+    structure (with shapes/dtypes) for restoration.
+
+    Arrays are restored as host numpy arrays: a checkpoint written from a TPU
+    process carries device shardings orbax cannot re-materialize in a CPU-only
+    process (restore raises "sharding ... Got None"); numpy restore is
+    device-agnostic and the consumers jnp.asarray as needed."""
     path = Path(path).resolve()
+    import numpy as np
     with ocp.PyTreeCheckpointer() as ckptr:
         if item is not None:
             return ckptr.restore(path, item=item)
-        return ckptr.restore(path)
+        try:
+            import jax
+            meta = ckptr.metadata(path).item_metadata.tree
+            restore_args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+            return ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+        except Exception:
+            return ckptr.restore(path)
 
 
 def checkpoint_exists(path):
