@@ -41,7 +41,7 @@ def collect_epoch_records(root):
     return runs
 
 
-def report(runs):
+def report(runs, source='recorded run'):
     import numpy as np
     # drop each run's first epoch: it pays the jit compile of train/eval steps
     steady = [r for recs in runs.values() for r in recs[1:]]
@@ -53,8 +53,8 @@ def report(runs):
     sps = float((slices[with_slices] / times[with_slices]).mean()) \
         if with_slices.any() else None
     out = {
-        'metric': 'phantom epoch wall-clock (train + val + test eval, '
-                  '128^3@192mm production scale)',
+        'metric': 'phantom epoch wall-clock (train + val + test eval; '
+                  f'{source})',
         'value': round(float(np.median(times)), 2),
         'unit': 's/epoch',
         'vs_baseline': 1.0,
@@ -101,11 +101,15 @@ def main():
                    help='report from existing metrics.jsonl files under this dir')
     p.add_argument('--epochs', type=int, default=3)
     args = p.parse_args()
-    runs_dir = args.from_run or run_fresh(epochs=args.epochs)
+    if args.from_run:
+        runs_dir, source = args.from_run, f'recorded run {args.from_run}'
+    else:
+        runs_dir = run_fresh(epochs=args.epochs)
+        source = '128^3@192mm production scale, 3 views'
     runs = collect_epoch_records(runs_dir)
     if not runs:
         raise SystemExit(f'no perf/epoch_s records under {runs_dir}')
-    report(runs)
+    report(runs, source)
 
 
 if __name__ == '__main__':
