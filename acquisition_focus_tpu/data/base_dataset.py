@@ -26,10 +26,12 @@ from acquisition_focus_tpu.ops.rotations import random_affine
 import jax
 
 
-def _prescan_quality(seg, gt, prescan_nii_affine, num_classes):
-    """Dice / HD95 of the segmented prescan against GT — the reference's build-time
-    quality gate for from-segmented runs (base_dataset.py:287-298). HD95 in mm via
-    the voxel-diagonal norm, matching the runner's eval convention."""
+def _prescan_quality(seg, gt, nii_affine, num_classes):
+    """Dice / HD95 of the (hires-interpolated) segmented prescan against the hires
+    GT — the reference's build-time quality gate for from-segmented runs
+    (base_dataset.py:287-298, which also compares at hires resolution). HD95 in mm
+    via the voxel-diagonal norm of the comparison grid's affine, matching the
+    runner's eval convention."""
     from acquisition_focus_tpu.engine.metrics import hausdorff_per_class
     from acquisition_focus_tpu.ops.affine import affine_zooms
     seg, gt = np.asarray(seg), np.asarray(gt)
@@ -40,7 +42,7 @@ def _prescan_quality(seg, gt, prescan_nii_affine, num_classes):
         if denom > 0:
             dice[c] = 2.0 * np.logical_and(p, t).sum() / denom
     zoom_norm = float(np.linalg.norm(np.asarray(
-        affine_zooms(jnp.asarray(prescan_nii_affine, jnp.float32)[None]))[0]))
+        affine_zooms(jnp.asarray(nii_affine, jnp.float32)[None]))[0]))
     hd95 = hausdorff_per_class(seg[None], gt[None], num_classes,
                                percentile=95)[0] * zoom_norm
     return {
@@ -201,16 +203,25 @@ class BaseDataset:
                 prescan_views = get_clinical_cardiac_view_affines(
                     seg, case['prescan_nii_affine'], class_dict,
                     num_sa_slices=cfg.get('num_sa_slices', 15), return_unrolled=True)
-                # canonical base from the *segmented prescan* (reference
-                # base_dataset.py:276-281 — NOT from the GT hires label)
+                # interpolate the segmented prescan back to the hires grid: the
+                # canonical base is registered on the hires-interpolated
+                # segmentation (reference base_dataset.py:280 registers tmp.int()),
+                # which also keeps registration and hires volume in the SAME
+                # normalized [-1,1] grid space regardless of prescan FOV
+                seg_hires, _, _ = nifti_grid_sample(
+                    jnp.asarray(seg)[None, None],
+                    jnp.asarray(case['prescan_nii_affine'], jnp.float32)[None],
+                    hires_mm, hires_vox, is_label=True)
+                seg_hires = np.asarray(seg_hires[0, 0], np.int32)
                 prescan_views['centroids'] = np.asarray(
-                    register_centroids(ref_heart, seg, dof=6,
+                    register_centroids(ref_heart, seg_hires, dof=6,
                                        seed=cfg.get('seed', 0)), np.float64)
                 case['prescan_view_affines'] = prescan_views
-                # prescan quality gate vs GT (reference base_dataset.py:287-298)
+                # prescan quality gate vs GT at HIRES resolution / hires affine
+                # norm — comparable to the reference's logged numbers
+                # (base_dataset.py:287-298 compares the hires-interpolated seg)
                 case['prescan_quality'] = _prescan_quality(
-                    seg, case['prescan_gt'], case['prescan_nii_affine'],
-                    len(self.label_tags))
+                    seg_hires, hires_lbl, hires_nii, len(self.label_tags))
                 print(f"  {fid} prescan dice="
                       f"{case['prescan_quality']['dice_mean']:.3f} hd95="
                       f"{case['prescan_quality']['hd95_mean']:.2f}mm")

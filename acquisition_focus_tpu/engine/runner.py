@@ -184,9 +184,11 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
     seg_model, seg_params = _load_segmenter(config, num_classes)
 
     # stop_at_epoch pauses a run early WITHOUT changing the schedules (which are
-    # functions of the full config['epochs']); resuming later with the same
-    # config continues bit-exactly where the paused run left off.
-    stop_epoch = config.get('stop_at_epoch') or config['epochs']
+    # functions of the full config['epochs']); a pause checkpoint is force-saved
+    # at the stop epoch so resuming from it continues bit-exactly regardless of
+    # the save_every cadence. stop_at_epoch=0 means "run zero epochs", not "off".
+    stop_at = config.get('stop_at_epoch')
+    stop_epoch = stop_at if stop_at is not None else config['epochs']
 
     for epx in range(epx_start, stop_epoch):
         global_idx = get_global_idx(fold_idx, epx, config['epochs'])
@@ -276,6 +278,18 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
             best_save_path = str(save_path)
             if stage is not None:
                 stage['save_path'] = str(save_path)
+
+        if epx + 1 == stop_epoch and stop_epoch < config['epochs']:
+            # pausing early: force-save the exact stop-epoch state (the periodic
+            # cadence may not land here, and save_every='best' would roll a
+            # resume back to the best epoch). Returned as the resume path; stage
+            # chaining still points at the best/periodic save above.
+            save_path = Path(base_dir) / config['mdl_save_prefix'] / \
+                f"{run_name}_pause"
+            save_checkpoint(save_path, ckpt_state)
+            best_save_path = str(save_path)
+            print(f"paused at epoch {epx}; resume with "
+                  f"model_checkpoint_path={save_path}")
 
         if config.get('debug'):
             break

@@ -73,10 +73,33 @@ def _chain_previous_transform_checkpoint(stage):
     """Promote the previous stage's best save into this stage's transform
     checkpoint. When no ``save_path`` was handed forward (e.g. ``stage_override``
     starts the sweep at a non-first stage), leave the key alone so a
-    config-provided ``transform_model_checkpoint_path`` survives."""
+    config-provided ``transform_model_checkpoint_path`` survives — but warn,
+    because in a full sweep a missing save_path means checkpoint chaining was
+    silently dropped (e.g. save_every=None in the previous stage)."""
     save_path = stage.get('save_path')
     if save_path is not None:
         stage['transform_model_checkpoint_path'] = save_path
+    else:
+        import warnings
+        warnings.warn(
+            "opt_view stage opened without a handed-forward save_path: previous "
+            "views' learned orientations are NOT chained in (the previous stage "
+            "saved no checkpoint — check save_every). Falling back to "
+            f"transform_model_checkpoint_path="
+            f"{stage.get('transform_model_checkpoint_path')!r}.",
+            stacklevel=2)
+
+
+def merge_stage_config(config, stage):
+    """Overlay an opened stage onto the base config (reference run_dl.py:668-678:
+    stage keys override config keys for the stage's run). Only keys the config
+    already knows are merged, plus the runner-facing stage handles."""
+    stage_config = config.copy()
+    stage_config.update(
+        {k: stage[k] for k in set(stage) & set(stage_config)} |
+        {k: stage[k] for k in ('n_active_views', 'transform_model_checkpoint_path',
+                               'save_path') if k in stage})
+    return stage_config
 
 
 def get_std_stages(config):
@@ -96,8 +119,12 @@ def get_std_stages(config):
         )
 
     # 'ref' has no on_open hook: it inherits the transform checkpoint key as-is
-    # (reference stages.py:76-82); with use_affine_theta=False the ATM weights
-    # only supply the frozen learned orientations.
+    # (reference stages.py:76-82). With use_affine_theta=False the ATM weights
+    # are loaded but NOT evaluated — thetas are identity (train.py), so the ref
+    # stage measures the *clinically initialized* view planes. This matches the
+    # reference: its ref stage computes init affines with theta ~= identity
+    # (learnable_transform.py:148-170,262-268); it is the baseline the opt_view
+    # stages are compared against, not a stage that replays learned views.
     std_stages['ref'] = Stage(
         do_output=True,
         view_optimization_mode='opt-none',

@@ -293,6 +293,64 @@ def assemble_model_input(spec: StageSpec, slices, grid_affines, augment_rng=None
     return b_input, grid_affines
 
 
+def _segment_slices_in_jit(spec: StageSpec, seg_model, seg_params, image_slices,
+                           train_spacing_mm=1.5):
+    """Replace label slices by segmenting the *image* slices inside the jitted
+    eval step (reference run_dl.py:172-188: from-segmented, phase != train).
+
+    Semantics vs the serving segmenter (engine/segmenter.py), kept equivalent
+    where the shapes allow and documented where they deviate:
+
+    * z-normalization is per slice (each slice is one segmenter input, matching
+      run_inference_on_image's per-image norm, reference nnunetv2_utils.py:97);
+    * the slice is respaced to the segmenter's 1.5 mm training grid before
+      inference (reference segment_fn respaces from get_zooms(atm_nii_affine),
+      run_dl.py:178; nnunetv2_utils.py:61-115). Jit needs static shapes, so the
+      respacing factor comes from the static spec FOVs — exact when
+      zoom_clip_value == 0 (the default), approximate under learned zoom;
+    * mirror TTA averages the 2^2 in-plane flips exactly like
+      segmenter.make_tile_predictor. Sliding window + gaussian blending are
+      omitted because after respacing the slice is a single tile (<= 128^2 at
+      every shipped config), where they degenerate to one plain apply
+      (acc/norm = logits*g / g);
+    * the prediction is one-hot at the respaced resolution and resampled
+      trilinear straight to the hires in-plane grid — the reference instead
+      round-trips nearest back to slice resolution first (run_dl.py:180-197),
+      which only loses fidelity; deviation noted in PARITY.md.
+
+    Args:  image_slices (A, B, 1, sh, sw) at slice_fov_vox resolution.
+    Returns: (A, B, num_classes, Hh, Hw) one-hot slices at hires resolution.
+    """
+    A, B = image_slices.shape[0], image_slices.shape[1]
+    sh, sw = spec.slice_fov_vox[0], spec.slice_fov_vox[1]
+    x = image_slices.reshape(A * B, sh, sw, 1)
+
+    sp_h = spec.slice_fov_mm[0] / sh
+    sp_w = spec.slice_fov_mm[1] / sw
+    nh = max(1, int(round(sh * sp_h / train_spacing_mm)))
+    nw = max(1, int(round(sw * sp_w / train_spacing_mm)))
+    if (nh, nw) != (sh, sw):
+        x = jax.image.resize(x, (A * B, nh, nw, 1), 'linear')
+
+    mu = x.mean(axis=(1, 2), keepdims=True)
+    sd = x.std(axis=(1, 2), keepdims=True)
+    x = (x - mu) / jnp.maximum(sd, 1e-8)
+
+    logits = seg_model.apply(seg_params, x)
+    for axes in ((1,), (2,), (1, 2)):
+        logits = logits + jnp.flip(
+            seg_model.apply(seg_params, jnp.flip(x, axes)), axes)
+    logits = logits / 4.0
+
+    pred = jnp.argmax(logits, axis=-1)                      # (A*B, nh, nw)
+    onehot = jax.nn.one_hot(pred, spec.num_classes, dtype=jnp.float32)
+    slc = jnp.transpose(onehot, (0, 3, 1, 2))               # (A*B, C, nh, nw)
+    Hh, Hw = spec.hires_fov_vox[0], spec.hires_fov_vox[1]
+    if (nh, nw) != (Hh, Hw):
+        slc = resize_trilinear(slc[..., None], (Hh, Hw, 1))[..., 0]
+    return slc.reshape(A, B, spec.num_classes, Hh, Hw)
+
+
 def forward(spec: StageSpec, unet, unet_params, atms, atm_params, batch, rng,
             train: bool, seg_model=None, seg_params=None):
     """Full forward: volumes -> view slices -> reconstruction -> loss.
@@ -321,15 +379,7 @@ def forward(spec: StageSpec, unet, unet_params, atms, atm_params, batch, rng,
         image=batch.get('image') if use_segmenter else None)
 
     if use_segmenter:
-        A, B = slices.shape[0], slices.shape[1]
-        Sh, Sw = slices.shape[3], slices.shape[4]
-        x = image_slices.reshape(A * B, 1, Sh, Sw)
-        x = (x - x.mean()) / jnp.maximum(x.std(), 1e-8)
-        seg_logits = seg_model.apply(seg_params, jnp.transpose(x, (0, 2, 3, 1)))
-        pred = jnp.argmax(seg_logits, axis=-1)          # (A*B, Sh, Sw)
-        slices = jnp.transpose(
-            jax.nn.one_hot(pred, spec.num_classes, dtype=jnp.float32),
-            (0, 3, 1, 2)).reshape(A, B, spec.num_classes, Sh, Sw)
+        slices = _segment_slices_in_jit(spec, seg_model, seg_params, image_slices)
     b_input, grid_affines_full = assemble_model_input(
         spec, slices, grid_affines, aug_recon)
 

@@ -38,9 +38,12 @@ def register_centroids(fixed_label, moving_label, dof=6, iters=500, lr=0.05, see
     assert dof in (6, 7)
     fixed_label = np.asarray(fixed_label)
     moving_label = np.asarray(moving_label)
-    # Shapes may differ (e.g. a 32-cube segmented prescan registered to the
-    # 128-cube reference heart): centers are normalized to [-1, 1] grid space by
-    # each volume's own shape, so only cubicity matters.
+    # Shapes may differ: centers are normalized to [-1, 1] grid space by each
+    # volume's own shape. The fitted affine lives in the MOVING volume's
+    # normalized grid space — it is only valid to apply it to another grid
+    # (e.g. the hires volume, base_dataset.py) when that grid spans the SAME
+    # physical FOV; the data layer guarantees this by registering the
+    # hires-interpolated segmentation, never the raw prescan.
     assert fixed_label.shape[0] == fixed_label.shape[1] == fixed_label.shape[2]
     assert moving_label.shape[0] == moving_label.shape[1] == moving_label.shape[2]
 

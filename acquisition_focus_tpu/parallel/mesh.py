@@ -34,22 +34,24 @@ def make_mesh(mesh_shape=None, devices=None):
 
 def batch_shardings(mesh, train=True):
     """PartitionSpecs for the batch dict. Train batches carry a leading
-    (accum, B, ...) pair — B is the data axis; view_affines carry (accum, V, B, ...)."""
+    (accum, B, ...) pair — B is the data axis; view_affines carry (accum, V, B, ...).
+    On a model-only mesh (no 'data' axis) batches are replicated."""
     if mesh is None:
         return None
+    d_axis = 'data' if 'data' in mesh.axis_names else None
     v_axis = None  # view affines follow the (replicated) ATM params
     if train:
         return {
-            'label': P(None, 'data'),
-            'image': P(None, 'data'),
-            'nii_affine': P(None, 'data'),
-            'view_affines': P(None, v_axis, 'data'),
+            'label': P(None, d_axis),
+            'image': P(None, d_axis),
+            'nii_affine': P(None, d_axis),
+            'view_affines': P(None, v_axis, d_axis),
         }
     return {
-        'label': P('data'),
-        'image': P('data'),
-        'nii_affine': P('data'),
-        'view_affines': P(v_axis, 'data'),
+        'label': P(d_axis),
+        'image': P(d_axis),
+        'nii_affine': P(d_axis),
+        'view_affines': P(v_axis, d_axis),
     }
 
 

@@ -9,17 +9,37 @@ measured round-1 *initial* (unoptimized) TPU implementation of the same workload
 (the torch reference publishes no throughput numbers and cannot run in this image,
 and an XLA-CPU run of the workload does not finish compiling on the 1-core host —
 see BASELINE.md and PERF.md).
+
+Resilience: the measurement runs in a subprocess with bounded retries and
+backoff, because the axon TPU tunnel can be transiently unavailable or wedged by
+a previously-killed client (PERF.md "operational facts": ~60 s claim latency per
+fresh client, ~5 min grant expiry after an abnormal kill). A successful run is
+recorded to BENCH_LASTGOOD.json; if every attempt fails, the last known-good
+line is re-emitted with "stale": true so a backend hiccup never loses the
+round's perf record (round-2 lesson: BENCH_r02.json rc=1, no number).
+
+MFU: FLOPs/step come from XLA's own cost analysis of the compiled step
+(compiled.cost_analysis()['flops']) — i.e. everything XLA executes, including
+the grad pass and both optimizers — divided by measured step time and the
+TPU v5e bf16 peak of 197 TFLOP/s.
 """
 
+import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
+HERE = Path(__file__).resolve().parent
+LASTGOOD = HERE / 'BENCH_LASTGOOD.json'
+V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) peak dense bf16
+
 
 def build_workload(compute_dtype='bfloat16'):
-    import os
     import jax
     from acquisition_focus_tpu.engine.optimizers import (
         make_reconstruction_optimizer, make_transform_optimizer)
@@ -63,8 +83,18 @@ def build_workload(compute_dtype='bfloat16'):
         state[0], state[1], state[2], state[3] = out[0], out[1], out[2], out[3]
         return out[4]['loss']
 
+    def flops_per_step():
+        """XLA-counted FLOPs of one compiled train_step (cache-hit lower)."""
+        lowered = train_step.lower(
+            spec, unet, atms, recon_opt, trans_opt,
+            state[0], state[1], state[2], state[3], batch, jax.random.key(0))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0] if cost else {}
+        return float(cost.get('flops', 0.0)) or None
+
     n_slices = accum * B * spec.n_views
-    return step, n_slices
+    return step, n_slices, flops_per_step
 
 
 def time_step(step, n_warmup=1, n_timed=3):
@@ -79,19 +109,19 @@ def time_step(step, n_warmup=1, n_timed=3):
     return (time.time() - t0) / n_timed
 
 
-def main():
+def measure():
     import jax
-    step, n_slices = build_workload()
+    step, n_slices, flops_per_step = build_workload()
     step_time = time_step(step)
     slices_per_sec = n_slices / step_time
 
-    baseline_file = Path(__file__).parent / 'BENCH_BASELINE.json'
+    baseline_file = HERE / 'BENCH_BASELINE.json'
     vs_baseline = 1.0
     if baseline_file.is_file():
         base = json.loads(baseline_file.read_text())
         vs_baseline = slices_per_sec / base['baseline_slices_per_sec']
 
-    print(json.dumps({
+    record = {
         'metric': 'train_step slices/sec/chip (MMWHS default config: 3 views, '
                   'batch 2, accum 2, 128^3@192mm, full ATM+HybridUnet update)',
         'value': round(slices_per_sec, 3),
@@ -99,8 +129,91 @@ def main():
         'vs_baseline': round(vs_baseline, 2),
         'step_time_s': round(step_time, 4),
         'device': str(jax.devices()[0]),
-    }))
+    }
+    try:
+        flops = flops_per_step()
+    except Exception as e:  # cost analysis must never sink the number
+        print(f'cost_analysis failed: {e}', file=sys.stderr)
+        flops = None
+    if flops:
+        achieved = flops / step_time
+        record.update({
+            'flops_per_step': round(flops, 1),
+            'achieved_tflops': round(achieved / 1e12, 2),
+            'mfu_vs_v5e_bf16_peak': round(achieved / V5E_PEAK_BF16_FLOPS, 4),
+        })
+    return record
+
+
+def worker_main():
+    rec = measure()
+    print(json.dumps(rec), flush=True)
+
+
+def parse_json_line(text):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith('{'):
+            try:
+                rec = json.loads(line)
+                if 'metric' in rec and 'value' in rec:
+                    return rec
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def orchestrate(attempts, worker_timeout, backoffs):
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(HERE / 'bench.py'), '--worker'],
+                capture_output=True, text=True, timeout=worker_timeout,
+                cwd=str(HERE))
+            rec = parse_json_line(proc.stdout) if proc.returncode == 0 else None
+            if rec is not None:
+                rec['stale'] = False
+                LASTGOOD.write_text(json.dumps(rec, indent=2))
+                print(json.dumps(rec))
+                return 0
+            err = (proc.stderr or proc.stdout or '').strip().splitlines()
+            print(f'bench attempt {i + 1}/{attempts} failed '
+                  f'(rc={proc.returncode}): {err[-1] if err else "?"}',
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            # the killed worker may wedge the chip grant; the backoff below
+            # outlasts the ~5 min grant expiry (PERF.md)
+            print(f'bench attempt {i + 1}/{attempts} timed out '
+                  f'after {worker_timeout}s', file=sys.stderr)
+        if i + 1 < attempts:
+            wait = backoffs[min(i, len(backoffs) - 1)]
+            print(f'backing off {wait}s before retry', file=sys.stderr)
+            time.sleep(wait)
+
+    if LASTGOOD.is_file():
+        rec = json.loads(LASTGOOD.read_text())
+        rec['stale'] = True
+        rec['stale_reason'] = (
+            f'all {attempts} live attempts failed (backend unavailable); '
+            're-emitting last known-good measurement')
+        print(json.dumps(rec))
+        return 0
+    print('no live measurement and no BENCH_LASTGOOD.json', file=sys.stderr)
+    return 1
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--worker', action='store_true',
+                   help='run one measurement in-process (no retry wrapper)')
+    p.add_argument('--attempts', type=int, default=3)
+    p.add_argument('--worker_timeout', type=int, default=1800)
+    a = p.parse_args(argv)
+    if a.worker:
+        worker_main()
+        return 0
+    return orchestrate(a.attempts, a.worker_timeout, backoffs=(300, 600))
 
 
 if __name__ == '__main__':
-    main()
+    sys.exit(main())

@@ -15,7 +15,7 @@ from acquisition_focus_tpu.data.cache import load_or_build
 from acquisition_focus_tpu.data.mrxcat import get_dataset_class
 from acquisition_focus_tpu.engine.config import DotDict, load_config
 from acquisition_focus_tpu.engine.runner import run_dl
-from acquisition_focus_tpu.engine.stages import get_std_stages
+from acquisition_focus_tpu.engine.stages import get_std_stages, merge_stage_config
 from acquisition_focus_tpu.utils.logging import get_fold_postfix
 
 
@@ -53,11 +53,7 @@ def stage_sweep_run(base_dir, run_name, config, fold_properties, stages,
     for stage in stages:
         stage_id = stages.current_key
         stage.activate()
-        stage_config = DotDict(config.copy())
-        stage_config.update(
-            {k: stage[k] for k in set(stage) & set(stage_config)} |
-            {k: stage[k] for k in ('n_active_views', 'transform_model_checkpoint_path',
-                                   'save_path') if k in stage})
+        stage_config = merge_stage_config(DotDict(config.copy()), stage)
         stage_run_name = f"{run_name}_stage-{stage_id}"
         print(f"Running {stage_run_name}")
         run_dl(base_dir, stage_config, fold_properties, stage=stage,

@@ -125,6 +125,31 @@ class TestEvalStep:
         # dice shape (B, C)
         assert out['dice'].shape == (1, spec.num_classes)
 
+    def test_eval_from_segmented_lowres_slices(self, rng):
+        """from-segmented eval must trace at non-hires slice sizes (round-2
+        VERDICT Weak#1: the reference's 32^2-slice meta configs, e.g.
+        meta_configs_MMWHS/config_dict_id14.json): the image slice is segmented
+        at slice resolution after respacing to the segmenter's 1.5mm grid, then
+        upsampled (reference run_dl.py:170-197 order)."""
+        from acquisition_focus_tpu.models.segmentation.unet2d import SegUnet2D
+        spec = tiny_spec(slice_fov_mm=(48.0, 48.0, 3.0), slice_fov_vox=(16, 16, 1),
+                         label_slice_type='from-segmented')
+        unet, atms = make_models(spec)
+        up, ap = init_params(spec, jax.random.key(0))
+        batch = tiny_batch(spec, 1, 1, rng)
+        micro = jax.tree_util.tree_map(lambda x: x[0], batch)
+        S = spec.hires_fov_vox[0]
+        micro['image'] = jnp.asarray(
+            rng.normal(size=(1, S, S, S)).astype(np.float32))
+        seg_model = SegUnet2D(num_classes=spec.num_classes, features=(4, 8))
+        # the seg net sees the 1.5mm-respaced slice: 16 * (48/16)/1.5 = 32^2
+        seg_params = seg_model.init(jax.random.key(1), jnp.zeros((1, 32, 32, 1)))
+        out = eval_step(spec, unet, atms, up, ap, micro, jax.random.key(0),
+                        with_aug=False, seg_model=seg_model,
+                        seg_params=seg_params)
+        assert out['pred'].shape == (1, S, S, S)
+        assert np.isfinite(float(out['loss']))
+
 
 def test_prescan_kernel_scale_guard():
     """The Pallas prescan kernel only dispatches when the static affine scale
