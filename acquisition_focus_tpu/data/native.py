@@ -1,17 +1,37 @@
 """ctypes bindings for the native host-side geometry library (native/libafocus.so).
 
-Optional fast path for dataset-build / offline preprocessing on the host CPU; every
-caller falls back to the JAX ops when the library is absent. Build with
-``scripts/build_native.sh``.
+Optional fast path for offline preprocessing on the host CPU — production caller:
+``data.preprocess.resample_iso`` (the per-case isotropic resample of the offline
+pipeline), which falls back to the JAX op when the library is absent. Build with
+``scripts/build_native.sh`` or :func:`ensure_built` (the preprocess CLIs call it).
 """
 
 import ctypes
+import subprocess
 from pathlib import Path
 
 import numpy as np
 
-_LIB_PATH = Path(__file__).resolve().parents[2] / 'native' / 'libafocus.so'
+_ROOT = Path(__file__).resolve().parents[2]
+_LIB_PATH = _ROOT / 'native' / 'libafocus.so'
 _lib = None
+
+
+def ensure_built(quiet=True):
+    """Build native/libafocus.so if missing and a host compiler exists.
+
+    Returns True when the library is usable afterwards. Never raises: offline
+    tooling calls this opportunistically and falls back to the JAX ops.
+    """
+    if _LIB_PATH.is_file():
+        return True
+    script = _ROOT / 'scripts' / 'build_native.sh'
+    try:
+        subprocess.run(['bash', str(script)], check=True,
+                       capture_output=quiet, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        return False
+    return _LIB_PATH.is_file()
 
 
 def _load():

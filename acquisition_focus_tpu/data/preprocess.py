@@ -47,16 +47,43 @@ def reorient_to_lpi(data, affine):
 
 
 def resample_iso(data, affine, spacing_mm=1.0, is_label=False):
-    """Resample to isotropic spacing, preserving physical extent."""
+    """Resample to isotropic spacing, preserving physical extent.
+
+    Runs through the native host library (native/libafocus.so, built by
+    scripts/build_native.sh) when present — identical geometry (the grid affine
+    comes from the same ``grid_affines_for_fov``) and identical min-shift
+    zero-padding semantics; falls back to the JAX op otherwise. Offline
+    preprocessing is host-side work where the ctypes path avoids per-case
+    XLA dispatch on the 1-core build host.
+    """
+    from acquisition_focus_tpu.data import native
+
     shape = np.asarray(data.shape[:3], np.float64)
     zooms = np.sqrt((np.asarray(affine)[:3, :3] ** 2).sum(0))
     fov_mm = zooms * shape
     out_vox = tuple(int(round(v)) for v in fov_mm / spacing_mm)
-    vol = jnp.asarray(np.asarray(data, np.float32))[None, None]
-    out, _, out_aff = nifti_grid_sample(
-        vol, jnp.asarray(affine, jnp.float32)[None],
-        jnp.asarray(fov_mm, jnp.float32), out_vox, is_label=is_label)
-    out = np.asarray(out[0, 0])
+
+    if native.is_available():
+        from acquisition_focus_tpu.ops.affine import grid_affines_for_fov
+        theta, out_aff = grid_affines_for_fov(
+            jnp.asarray(affine, jnp.float32)[None],
+            tuple(int(s) for s in data.shape[:3]),
+            jnp.asarray(fov_mm, jnp.float32), jnp.asarray(out_vox))
+        vol = np.asarray(data, np.float32)[None]
+        if is_label:
+            out = native.native_grid_sample(
+                vol, np.asarray(theta[0], np.float64), out_vox, mode='nearest')
+        else:
+            mn = float(vol.min())  # min-shift: zero-pad with the volume minimum
+            out = native.native_grid_sample(
+                vol - mn, np.asarray(theta[0], np.float64), out_vox) + mn
+        out = out[0]
+    else:
+        vol = jnp.asarray(np.asarray(data, np.float32))[None, None]
+        out, _, out_aff = nifti_grid_sample(
+            vol, jnp.asarray(affine, jnp.float32)[None],
+            jnp.asarray(fov_mm, jnp.float32), out_vox, is_label=is_label)
+        out = np.asarray(out[0, 0])
     if is_label:
         out = out.astype(np.int32)
     return out, np.asarray(out_aff[0], np.float64)

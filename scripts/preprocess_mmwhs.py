@@ -13,6 +13,10 @@ from acquisition_focus_tpu.data.preprocess import (  # noqa: E402
 
 
 def main():
+    import jax
+    jax.config.update('jax_platforms', 'cpu')  # offline host work; never claims the chip
+    from acquisition_focus_tpu.data import native
+    native.ensure_built()  # host fast path for resample_iso; JAX fallback if no compiler
     p = argparse.ArgumentParser()
     p.add_argument('--raw_dir', required=True)
     p.add_argument('--out_dir', required=True)

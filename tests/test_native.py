@@ -7,9 +7,11 @@ import jax.numpy as jnp
 from acquisition_focus_tpu.data import native
 from acquisition_focus_tpu.ops.resample import grid_sample
 
+native.ensure_built()  # builds with the host g++ when absent; skip only if that fails
+
 
 @pytest.mark.skipif(not native.is_available(),
-                    reason="native lib not built (scripts/build_native.sh)")
+                    reason="native lib not built and no host compiler")
 class TestNativeResample:
     def test_trilinear_parity(self, rng):
         vol = rng.random((3, 10, 12, 14)).astype(np.float32)
@@ -39,3 +41,20 @@ class TestNativeResample:
         lbl[2:4, 3:5, 4:6] = 1
         c = native.native_label_center(lbl)
         np.testing.assert_allclose(c, [2.5, 3.5, 4.5])
+
+    def test_resample_iso_native_matches_jax(self, rng, monkeypatch):
+        """The wired production caller (preprocess.resample_iso) produces the
+        same volume and output affine through the native and JAX paths."""
+        from acquisition_focus_tpu.data import preprocess
+
+        data = rng.random((12, 14, 10)).astype(np.float32) + 3.0
+        aff = np.diag([1.7, 1.3, 2.1, 1.0])
+        aff[:3, 3] = [4.0, -2.0, 1.0]
+
+        out_nat, aff_nat = preprocess.resample_iso(data, aff, spacing_mm=1.0)
+        monkeypatch.setattr(native, 'is_available', lambda: False)
+        out_jax, aff_jax = preprocess.resample_iso(data, aff, spacing_mm=1.0)
+
+        assert out_nat.shape == out_jax.shape
+        np.testing.assert_allclose(aff_nat, aff_jax, atol=1e-5)
+        np.testing.assert_allclose(out_nat, out_jax, atol=2e-4)
