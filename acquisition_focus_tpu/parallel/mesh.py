@@ -6,10 +6,15 @@ native to this workload:
 
 * ``data``  — batch (and grad-accum microbatch) dimension: pure data parallelism,
   gradients all-reduced by XLA from the jitted update.
-* ``model`` — the *view* dimension: the grouped 2D encoder, the per-view ATMs
-  (stacked params with a leading view axis) and the per-view slice extraction are
-  embarrassingly parallel across views — a natural tensor-parallel axis whose only
-  collective is the skip-concat all-gather, riding ICI.
+* ``model`` — feature tensor parallelism on the reconstruction U-Net: conv kernels
+  and norm scales split along their output-feature (last) axis (``shard_params``),
+  so each chip computes a feature slice of every conv and XLA inserts the
+  all-gathers/reduce-scatters over ICI at the layer boundaries it chooses. The ATM
+  params stay replicated — their vmapped per-view heads end in 1-channel outputs
+  that cannot split. (The per-view work itself is embarrassingly parallel, but the
+  views are folded into the batch axis inside the step, so view parallelism is
+  already what the ``data`` axis delivers; see tests/test_parallel.py for the
+  TP==DP equivalence check.)
 
 Shardings are expressed as NamedSharding constraints on inputs and params; XLA's
 SPMD partitioner inserts the collectives.

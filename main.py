@@ -61,6 +61,26 @@ def stage_sweep_run(base_dir, run_name, config, fold_properties, stages,
                run_test_once_only=run_test_once_only, run_name=stage_run_name)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: stage sweeps re-enter identical shapes, and
+    on this host a full train_step compile is minutes (CPU) / tens of seconds
+    (TPU remote compile) — cache hits make re-runs and resumed sweeps start in
+    seconds. Opt out with AF_NO_COMPILE_CACHE=1."""
+    import os
+    if os.environ.get('AF_NO_COMPILE_CACHE'):
+        return
+    import jax
+    cache_dir = os.environ.get(
+        'AF_COMPILE_CACHE_DIR',
+        str(Path(__file__).resolve().parent / '.cache' / 'jax'))
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    except Exception as e:  # never let the cache sink a run
+        print(f'warning: no persistent compile cache ({e})')
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--meta_config_path', type=str, default=None)
@@ -69,6 +89,7 @@ def main(argv=None):
     parser.add_argument('--base_dir', type=str, default='.')
     args = parser.parse_args(argv)
 
+    _enable_compile_cache()
     config = load_config(args.config_path, args.meta_config_path)
     if config.get('debug_nans'):
         # nan/inf detection in every jitted computation — the TPU-native analog of

@@ -29,17 +29,21 @@ from acquisition_focus_tpu.data.synthetic import write_phantom_dataset  # noqa: 
 
 
 def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
-        data_dir=None, out_dir=None, compute_dtype="bfloat16"):
+        data_dir=None, out_dir=None, compute_dtype="bfloat16", fov_mult=1.5):
+    """fov_mult: mm per output voxel. 1.5 at spat=128 is the reference geometry
+    (192 mm FOV); a reduced-resolution run (e.g. the spat=32 CPU fallback when
+    the TPU backend is down) needs a larger multiplier so the ~110 mm phantom
+    heart still fits inside the FOV (32 * 4.5 = 144 mm)."""
     data_dir = Path(data_dir or REPO / ".cache/e2e_phantom_data")
     out_dir = Path(out_dir or REPO / "artifacts/e2e_phantom")
-    run_root = REPO / ".cache/e2e_phantom_run"
+    run_root = REPO / ".cache" / f"{out_dir.name}_run"
     run_root.mkdir(parents=True, exist_ok=True)
 
     if not (data_dir / "metadata/data_split.json").exists():
         print("writing phantom dataset ...", flush=True)
         write_phantom_dataset(data_dir, n_cases=n_cases, shape=(96, 96, 96))
 
-    fov = float(spat) * 1.5
+    fov = float(spat) * float(fov_mult)
     cfg = dict(
         dataset=["synthetic", str(data_dir)],
         epochs=epochs, batch_size=2, num_grad_accum_steps=2, val_batch_size=1,
@@ -226,10 +230,21 @@ if __name__ == "__main__":
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--spat", type=int, default=128)
+    p.add_argument("--fov_mult", type=float, default=1.5)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU platform (TPU-backend-down fallback)")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--out_dir", default=None)
     p.add_argument("--collect_only", default=None,
                    help="skip training; collect artifacts from this run root")
     a = p.parse_args()
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if a.collect_only:
-        collect_artifacts(a.collect_only, REPO / "artifacts/e2e_phantom")
+        collect_artifacts(a.collect_only, a.out_dir or REPO / "artifacts/e2e_phantom")
     else:
-        run(epochs=a.epochs)
+        run(epochs=a.epochs, spat=a.spat, fov_mult=a.fov_mult,
+            compute_dtype=a.compute_dtype, data_dir=a.data_dir, out_dir=a.out_dir)
