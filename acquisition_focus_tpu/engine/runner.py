@@ -23,7 +23,7 @@ from acquisition_focus_tpu.engine.optimizers import (
 from acquisition_focus_tpu.engine.train import (
     StageSpec, eval_step, init_params, make_models, train_step)
 from acquisition_focus_tpu.parallel.mesh import (
-    make_mesh, replicate, shard_batch, shard_params)
+    make_mesh, replicate, shard_batch, shard_opt_state, shard_params)
 from acquisition_focus_tpu.geometry.clinical_views import get_class_volumes
 from acquisition_focus_tpu.ops.affine import affine_zooms
 from acquisition_focus_tpu.utils.logging import RunLogger, get_global_idx
@@ -165,7 +165,10 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
         assert B % data_size == 0, (
             f"batch_size {B} must be divisible by the data mesh axis {data_size}")
         unet_params, atm_params = shard_params(unet_params, atm_params, mesh)
-        recon_state = replicate(recon_state, mesh)
+        # Adam mu/nu mirror the param shapes: shard them with the params (the
+        # optimizer state is 2x the param bytes — replicating it dominates
+        # per-chip memory); transform opt state follows the replicated ATMs
+        recon_state = shard_opt_state(recon_state, mesh)
         trans_state = replicate(trans_state, mesh)
         print(f"Training on mesh {dict(mesh.shape)} ({mesh.size} devices)")
 

@@ -76,6 +76,16 @@ def replicate(tree, mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def _feature_shard_leaf(mesh, model_size):
+    def shard_leaf(x):
+        if getattr(x, 'ndim', 0) >= 1 and x.shape[-1] % model_size == 0 \
+                and x.shape[-1] > 1:
+            spec = P(*([None] * (x.ndim - 1) + ['model']))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    return shard_leaf
+
+
 def shard_params(unet_params, atm_params, mesh):
     """Tensor-parallel sharding of the reconstruction net over the 'model' axis:
     conv kernels and affine norms split along their output-feature (last) dimension;
@@ -88,13 +98,20 @@ def shard_params(unet_params, atm_params, mesh):
     if 'model' not in mesh.axis_names:
         return replicate(unet_params, mesh), atm_params
 
-    model_size = mesh.shape['model']
-
-    def shard_leaf(x):
-        if x.ndim >= 1 and x.shape[-1] % model_size == 0 and x.shape[-1] > 1:
-            spec = P(*([None] * (x.ndim - 1) + ['model']))
-            return jax.device_put(x, NamedSharding(mesh, spec))
-        return jax.device_put(x, NamedSharding(mesh, P()))
-
+    shard_leaf = _feature_shard_leaf(mesh, mesh.shape['model'])
     unet_params = jax.tree_util.tree_map(shard_leaf, unet_params)
     return unet_params, atm_params
+
+
+def shard_opt_state(opt_state, mesh):
+    """Shard an optimizer state co-located with feature-sharded params: Adam's
+    mu/nu mirror the param shapes, so the same last-dim rule applies leaf-wise
+    (scalar counts and schedule states stay replicated). Without this the Adam
+    state — 2x the param bytes — is fully replicated on every chip and dominates
+    per-chip argument memory (measured 430/505 MB at reference widths)."""
+    if mesh is None:
+        return opt_state
+    if 'model' not in mesh.axis_names:
+        return replicate(opt_state, mesh)
+    shard_leaf = _feature_shard_leaf(mesh, mesh.shape['model'])
+    return jax.tree_util.tree_map(shard_leaf, opt_state)

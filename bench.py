@@ -206,8 +206,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--worker', action='store_true',
                    help='run one measurement in-process (no retry wrapper)')
+    # live worker needs ~60 s claim + ~40 s compile + a few steps; 1200 s is
+    # ample, and 3 attempts + backoffs bound a dead-backend run to ~75 min
     p.add_argument('--attempts', type=int, default=3)
-    p.add_argument('--worker_timeout', type=int, default=1800)
+    p.add_argument('--worker_timeout', type=int, default=1200)
     a = p.parse_args(argv)
     if a.worker:
         worker_main()

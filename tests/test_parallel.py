@@ -1,0 +1,148 @@
+"""Mesh-parallelism tests beyond the runner-level DP check (tests/test_runner.py):
+
+- TP ({'model': 2}) and DP ({'data': 2}) runs through the REAL entry point agree
+  in loss space — validates that feature tensor parallelism computes the same
+  program, not just that it compiles (round-2 review: the 'model' axis had no
+  numerical equivalence check);
+- the reference-WIDTH train_step (base_features 16..256, locnet 32) compiles on a
+  {data: 4, model: 2} mesh with the big conv kernels actually feature-sharded and
+  the gradient all-reduce present in the partitioned program — the width-48/96/...
+  divisibility of shard_params was previously only exercised at toy widths.
+
+All on the 8 virtual CPU devices provided by conftest.
+"""
+
+import json
+
+import numpy as np
+import jax
+import pytest
+
+from acquisition_focus_tpu.parallel.mesh import (
+    make_mesh, replicate, shard_batch, shard_opt_state, shard_params)
+
+from tests.test_runner import make_config, phantom_dataset_factory, phantom_dir  # noqa: F401
+
+
+def _loss_track(run_dir, name):
+    track = {}
+    with open(run_dir / 'runs' / name / 'metrics.jsonl') as f:
+        for line in f:
+            rec = json.loads(line)
+            for k in ('losses/train_loss', 'losses/val_loss'):
+                if k in rec:
+                    track[(rec['step'], k)] = rec[k]
+    return track
+
+
+@pytest.mark.slow
+def test_tp_matches_dp(tmp_path, phantom_dataset_factory):  # noqa: F811
+    """Feature-TP over 'model' and DP over 'data' are the same math: loss
+    tracks agree to float-accumulation noise (see the tolerance discussion in
+    tests/test_runner.py::test_mesh_dp_matches_single_device)."""
+    from acquisition_focus_tpu.engine.runner import run_dl
+
+    assert len(jax.devices()) >= 2
+    base = dict(epochs=2, batch_size=2)
+    cfg_dp = make_config(tmp_path / 'dp', **base, mesh_shape={'data': 2})
+    cfg_tp = make_config(tmp_path / 'tp', **base, mesh_shape={'model': 2},
+                         # widths divisible by the model axis so the heuristic
+                         # shards every conv kernel (4,4,8,8,8,8 all % 2 == 0)
+                         )
+    ds = phantom_dataset_factory(cfg_dp)
+    fold = (0, (list(range(4)), [5]))
+
+    p_dp = run_dl(str(tmp_path / 'dp'), cfg_dp, fold, training_dataset=ds,
+                  test_dataset=None, run_name='dp')
+    p_tp = run_dl(str(tmp_path / 'tp'), cfg_tp, fold, training_dataset=ds,
+                  test_dataset=None, run_name='tp')
+
+    t_dp = _loss_track(tmp_path / 'dp', 'dp')
+    t_tp = _loss_track(tmp_path / 'tp', 'tp')
+    assert t_dp.keys() == t_tp.keys() and len(t_dp) == 4
+    # the first forward (before any optimizer update) must agree to float noise:
+    # this is the "TP computes the same function" assertion
+    first = min(s for s, _ in t_dp)
+    assert abs(t_dp[(first, 'losses/train_loss')]
+               - t_tp[(first, 'losses/train_loss')]) < 1e-5
+    # post-update epochs: TP changes the reduction order inside every conv, and
+    # Adam normalizes by gradient magnitude, so ulp-level gradient differences
+    # amplify per update (measured: 6e-3 on epoch-1 val; the DP-vs-single test
+    # documents the same mechanism at 2e-3). Trend-level agreement is the claim.
+    for key, v in t_dp.items():
+        assert abs(v - t_tp[key]) < 3e-2, (key, v, t_tp[key])
+
+
+@pytest.mark.slow
+def test_reference_width_tp_compile():
+    """Compile (not execute — reference-width virtual-device execution takes
+    ~13 min/step on this host) the full train_step at REFERENCE widths on a
+    {data: 4, model: 2} mesh and check the sharding actually happened."""
+    import jax.numpy as jnp
+    from acquisition_focus_tpu.engine.optimizers import (
+        make_reconstruction_optimizer, make_transform_optimizer)
+    from acquisition_focus_tpu.engine.train import (
+        StageSpec, init_params, make_models, train_step)
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh({'data': 4, 'model': 2})
+    S, n_views, B, accum = 32, 2, 4, 2
+    spec = StageSpec(
+        n_views=n_views, num_classes=6, n_active_views=n_views,
+        view_optimization_mode='opt-all', use_affine_theta=True,
+        hires_fov_mm=(48.0,) * 3, hires_fov_vox=(S, S, S),
+        slice_fov_mm=(48.0, 48.0, 1.5), slice_fov_vox=(S, S, 1),
+        prescan_fov_mm=(48.0,) * 3, prescan_fov_vox=(S, S, S),
+        augment_input=True, num_grad_accum_steps=accum,
+        compute_dtype='float32')  # reference base_features/locnet_width defaults
+
+    unet, atms = make_models(spec)
+    unet_params, atm_params = init_params(spec, jax.random.key(0), batch_size=1)
+    recon_opt = make_reconstruction_optimizer(1e-3, updates_per_epoch=2)
+    trans_opt = make_transform_optimizer(1e-3, epochs=4, updates_per_epoch=2)
+    recon_state = shard_opt_state(recon_opt.init(unet_params), mesh)
+    trans_state = replicate(trans_opt.init(atm_params), mesh)
+
+    unet_params, atm_params = shard_params(unet_params, atm_params, mesh)
+
+    # the big decoder/encoder conv kernels must be feature-sharded, not replicated
+    n_sharded, n_repl, sharded_bytes, total_bytes = 0, 0, 0, 0
+    for leaf in jax.tree_util.tree_leaves(unet_params):
+        spec_ = leaf.sharding.spec
+        total_bytes += leaf.nbytes
+        if any(ax == 'model' for ax in spec_):
+            n_sharded += 1
+            sharded_bytes += leaf.nbytes
+        else:
+            n_repl += 1
+    assert n_sharded > 0.5 * (n_sharded + n_repl), (n_sharded, n_repl)
+    assert sharded_bytes > 0.9 * total_bytes, (
+        f"big params not sharded: {sharded_bytes}/{total_bytes}")
+
+    rng = np.random.default_rng(0)
+    batch = shard_batch({
+        'label': rng.integers(0, 6, size=(accum, B, S, S, S)).astype(np.int32),
+        'image': rng.random((accum, B, S, S, S)).astype(np.float32),
+        'nii_affine': np.broadcast_to(
+            np.diag([1.5, 1.5, 1.5, 1.0]), (accum, B, 4, 4)).astype(np.float32),
+        'view_affines': np.broadcast_to(
+            np.eye(4), (accum, n_views, B, 4, 4)).astype(np.float32),
+    }, mesh, train=True)
+
+    compiled = train_step.lower(
+        spec, unet, atms, recon_opt, trans_opt,
+        unet_params, atm_params, recon_state, trans_state,
+        batch, jax.random.key(0)).compile()
+
+    hlo = compiled.as_text()
+    assert 'all-reduce' in hlo, "no gradient all-reduce in the partitioned program"
+    # per-device argument footprint must reflect the feature sharding of BOTH the
+    # params and the Adam state (mu/nu are 2x the param bytes; replicated they
+    # measured 430/505 MB — the sharded total must sit well below that)
+    mem = compiled.memory_analysis()
+    if mem is not None and getattr(mem, 'argument_size_in_bytes', 0):
+        full = total_bytes + sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(
+                (atm_params, recon_state, trans_state, batch)))
+        assert mem.argument_size_in_bytes < 0.7 * full, (
+            mem.argument_size_in_bytes, full)
