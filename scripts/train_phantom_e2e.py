@@ -29,11 +29,16 @@ from acquisition_focus_tpu.data.synthetic import write_phantom_dataset  # noqa: 
 
 
 def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
-        data_dir=None, out_dir=None, compute_dtype="bfloat16", fov_mult=1.5):
+        data_dir=None, out_dir=None, compute_dtype="bfloat16", fov_mult=1.5,
+        base_features=None, locnet_width=None):
     """fov_mult: mm per output voxel. 1.5 at spat=128 is the reference geometry
     (192 mm FOV); a reduced-resolution run (e.g. the spat=32 CPU fallback when
     the TPU backend is down) needs a larger multiplier so the ~110 mm phantom
-    heart still fits inside the FOV (32 * 4.5 = 144 mm)."""
+    heart still fits inside the FOV (32 * 4.5 = 144 mm).
+
+    base_features/locnet_width: None keeps the reference widths; the CPU
+    fallback passes reduced widths (a reference-width epoch is ~12 min on the
+    1-core host — ~20 h for a full sweep)."""
     data_dir = Path(data_dir or REPO / ".cache/e2e_phantom_data")
     out_dir = Path(out_dir or REPO / "artifacts/e2e_phantom")
     run_root = REPO / ".cache" / f"{out_dir.name}_run"
@@ -57,6 +62,10 @@ def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         metrics_every=5, save_every="best", do_output=True,
         use_caching=True,
     )
+    if base_features is not None:
+        cfg["base_features"] = list(base_features)
+    if locnet_width is not None:
+        cfg["locnet_width"] = int(locnet_width)
     cfg_path = run_root / "config.json"
     cfg_path.write_text(json.dumps(cfg))
 
@@ -232,6 +241,9 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--spat", type=int, default=128)
     p.add_argument("--fov_mult", type=float, default=1.5)
+    p.add_argument("--n_cases", type=int, default=14)
+    p.add_argument("--base_features", type=int, nargs="*", default=None)
+    p.add_argument("--locnet_width", type=int, default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (TPU-backend-down fallback)")
@@ -247,4 +259,6 @@ if __name__ == "__main__":
         collect_artifacts(a.collect_only, a.out_dir or REPO / "artifacts/e2e_phantom")
     else:
         run(epochs=a.epochs, spat=a.spat, fov_mult=a.fov_mult,
+            n_cases=a.n_cases, base_features=a.base_features or None,
+            locnet_width=a.locnet_width,
             compute_dtype=a.compute_dtype, data_dir=a.data_dir, out_dir=a.out_dir)
