@@ -68,6 +68,9 @@ class StageSpec:
     # volumes/batches).
     atm_remat: bool = False
     unet_remat: bool = False
+    # experimental: route qualifying decoder convs (full-res level) through the
+    # Pallas direct conv forward (ops/pallas/conv3d.py); XLA gradients either way.
+    use_pallas_conv3d: bool = False
     # model width plan (reference widths by default). The multi-chip dryrun uses
     # skinny widths: identical program/sharding structure, ~50x fewer FLOPs.
     base_features: Tuple[int, ...] = (16, 32, 64, 128, 256, 256)
@@ -97,7 +100,8 @@ def make_models(spec: StageSpec):
     else:
         recon = HybridUnet(n_views=spec.n_views, num_classes=spec.num_classes,
                            base_features=tuple(spec.base_features),
-                           dtype=spec.dtype, remat_skips=spec.unet_remat)
+                           dtype=spec.dtype, remat_skips=spec.unet_remat,
+                           use_pallas_conv=spec.use_pallas_conv3d)
     unet = recon
     atms = StackedATMs(
         n_views=spec.n_views, optim_method=spec.optim_method,

@@ -27,6 +27,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from acquisition_focus_tpu.models.localization import instance_norm
 from acquisition_focus_tpu.ops.affine import affine_zooms, scale_affine_columns
+from acquisition_focus_tpu.ops.pallas import conv3d as pallas_conv3d
 from acquisition_focus_tpu.ops.pallas.plane_resample import plane_resample_pallas
 from acquisition_focus_tpu.ops.resample import sample_slice_into_volume
 
@@ -40,11 +41,39 @@ def _conv_block_2d(x, features, stride, groups, dtype, name_prefix):
     return nn.leaky_relu(x, negative_slope=0.01)
 
 
-def _conv_block_3d(x, features, dtype, name_prefix):
+class Conv3x3x3(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3,3,3), padding='SAME')`` — identical
+    'kernel'/'bias' params (checkpoint-compatible) — that can route the forward
+    through the Pallas direct conv (ops/pallas/conv3d.py) with XLA gradients.
+    The Pallas path engages only on TPU AND when the static shape qualifies
+    (W % 128 == 0 etc., i.e. the full-resolution decoder level); every other
+    level falls back to the XLA conv."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, 3, ci, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        if (self.use_pallas and jax.default_backend() == 'tpu'
+                and pallas_conv3d.supports_conv3d(x.shape, kernel.shape)):
+            y = pallas_conv3d.conv3d(x, kernel)
+        else:
+            y = pallas_conv3d._xla_conv(x, kernel)
+        return y + bias
+
+
+def _conv_block_3d(x, features, dtype, name_prefix, use_pallas_conv=False):
     # 'conv_out' marks the bf16 conv results for the decoder's policy-based remat
     # (save these, recompute norm/activation in backward — see HybridUnet)
-    x = nn.Conv(features, (3, 3, 3), padding='SAME', dtype=dtype,
-                name=f'{name_prefix}_conv')(x)
+    x = Conv3x3x3(features, dtype=dtype, use_pallas=use_pallas_conv,
+                  name=f'{name_prefix}_conv')(x)
     x = checkpoint_name(x, 'conv_out')
     x = instance_norm(x, use_scale=True, use_bias=True, name=f'{name_prefix}_norm')
     return nn.leaky_relu(x, negative_slope=0.01)
@@ -93,6 +122,7 @@ class DecoderStage(nn.Module):
     the 128^3 concat/conv activations dominate peak HBM)."""
     features: int
     dtype: jnp.dtype
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, y, skip):
@@ -100,8 +130,8 @@ class DecoderStage(nn.Module):
                              dtype=self.dtype, name='up')(y)
         y = checkpoint_name(y, 'conv_out')
         y = jnp.concatenate([y, skip], axis=-1)
-        y = _conv_block_3d(y, self.features, self.dtype, 'a')
-        return _conv_block_3d(y, self.features, self.dtype, 'b')
+        y = _conv_block_3d(y, self.features, self.dtype, 'a', self.use_pallas_conv)
+        return _conv_block_3d(y, self.features, self.dtype, 'b', self.use_pallas_conv)
 
 
 class HybridUnet(nn.Module):
@@ -113,6 +143,7 @@ class HybridUnet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat_skips: bool = True
     use_pallas: bool = True
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x, grid_affines):
@@ -152,7 +183,8 @@ class HybridUnet(nn.Module):
                 policy=jax.checkpoint_policies.save_only_these_names('conv_out'))
         y = skips3d[-1]
         for s in range(n_stages - 2, -1, -1):
-            y = stage_cls(feats[s], self.dtype, name=f'dec{s}')(y, skips3d[s])
+            y = stage_cls(feats[s], self.dtype, self.use_pallas_conv,
+                          name=f'dec{s}')(y, skips3d[s])
 
         y = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32, name='seg_head')(y)
         return jnp.transpose(y, (0, 4, 1, 2, 3))

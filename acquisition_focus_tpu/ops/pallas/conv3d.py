@@ -19,8 +19,9 @@ lane dim). Structure (respecting every Mosaic constraint learned on this chip
   (double-buffered across steps; the extra leading W rows keep all static
   offsets non-negative).
 
-Only the forward pass: wire it via jax.custom_vjp with the standard XLA
-convolution gradients. Contractions run in the input dtype with f32
+The kernel is forward-only; ``conv3d`` below wires it via jax.custom_vjp with
+the standard XLA convolution gradients (built with jax.linear_transpose, so no
+second forward is ever traced). Contractions run in the input dtype with f32
 accumulation (bf16 inputs -> bf16 MXU passes; f32 inputs -> Precision.HIGHEST).
 """
 
@@ -173,3 +174,33 @@ def conv3d_pallas(x, w):
     out = out.reshape(B, nz, ny, TZ, TY, W, Co)
     out = jnp.transpose(out, (0, 1, 3, 2, 4, 5, 6))
     return out.reshape(B, D, H, W, Co)
+
+
+def _xla_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), 'SAME',
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+
+
+@jax.custom_vjp
+def conv3d(x, w):
+    """3^3 SAME conv with the Pallas forward and XLA gradients.
+
+    Gradients are the transposes of the (linear-in-each-operand) XLA conv,
+    built with jax.linear_transpose — identical to what jax.grad of the XLA
+    conv produces, with no extra forward in the trace."""
+    return conv3d_pallas(x, w)
+
+
+def _conv3d_fwd(x, w):
+    return conv3d_pallas(x, w), (x, w)
+
+
+def _conv3d_bwd(res, g):
+    x, w = res
+    dx = jax.linear_transpose(lambda x_: _xla_conv(x_, w), x)(g)[0]
+    dw = jax.linear_transpose(lambda w_: _xla_conv(x, w_), w)(g)[0]
+    return dx, dw
+
+
+conv3d.defvjp(_conv3d_fwd, _conv3d_bwd)

@@ -62,3 +62,44 @@ class TestConv3dPallas:
         assert not c3.supports_conv3d((2, 128, 128, 96, 96), (3, 3, 3, 96, 48))
         assert not c3.supports_conv3d((2, 12, 128, 128, 96), (3, 3, 3, 96, 48))
         assert not c3.supports_conv3d((2, 128, 128, 128, 96), (5, 5, 5, 96, 48))
+
+
+@pytest.mark.slow
+class TestConv3dCustomVjp:
+    def test_grads_match_xla(self, rng):
+        # interpret fixture applies: the Pallas forward runs interpreted on CPU
+        B, D, H, W, Ci, Co = 1, 8, 8, 128, 5, 7
+        x = jnp.asarray(rng.normal(size=(B, D, H, W, Ci)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)) * 0.2, jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(B, D, H, W, Co)), jnp.float32)
+
+        def loss(conv, x_, w_):
+            return (conv(x_, w_) * cot).sum()
+
+        gx_p, gw_p = jax.grad(lambda a, b: loss(c3.conv3d, a, b), (0, 1))(x, w)
+        gx_r, gw_r = jax.grad(lambda a, b: loss(xla_conv, a, b), (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                                   atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                                   atol=1e-3, rtol=1e-4)
+
+
+class TestConv3x3x3Module:
+    def test_drop_in_matches_nn_conv(self, rng):
+        """Same param tree (names+shapes) and identical outputs as nn.Conv on
+        the non-Pallas path — checkpoint compatibility of the swap."""
+        import flax.linen as nn
+        from acquisition_focus_tpu.models.hybrid_unet import Conv3x3x3
+
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 5)), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        ours = Conv3x3x3(6, dtype=jnp.float32, use_pallas=True, name='c')
+        ref = nn.Conv(6, (3, 3, 3), padding='SAME', dtype=jnp.float32, name='c')
+        p1 = ours.init(key, x)
+        p2 = ref.init(key, x)
+        assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(ours.apply(p1, x)),
+                                   np.asarray(ref.apply(p2, x)),
+                                   atol=2e-6, rtol=1e-6)
