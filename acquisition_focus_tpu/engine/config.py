@@ -73,7 +73,8 @@ DEFAULTS = DotDict(
     atm_remat=False,                 # True: fully recompute ATM conv chains in bwd
     unet_remat=False,                # True: fully recompute U-Net skip/decoder stages
                                      # (False = policy remat: save bf16 conv outs only)
-    use_pallas_conv3d=False,         # Pallas direct conv fwd on full-res decoder level
+    use_pallas_conv3d=False,         # Pallas conv on full-res decoder level:
+                                     # False | 'fwd' (XLA grads) | 'full' (all Pallas)
 
     mesh_shape=None,                 # e.g. {"data": 8}; None = single device
     stop_at_epoch=None,              # pause a run early; schedules still span `epochs`

@@ -69,8 +69,9 @@ class StageSpec:
     atm_remat: bool = False
     unet_remat: bool = False
     # experimental: route qualifying decoder convs (full-res level) through the
-    # Pallas direct conv forward (ops/pallas/conv3d.py); XLA gradients either way.
-    use_pallas_conv3d: bool = False
+    # Pallas direct conv (ops/pallas/conv3d.py). False | True/'fwd' (Pallas
+    # forward, XLA gradients) | 'full' (Pallas fwd + dx + wgrad kernels).
+    use_pallas_conv3d: object = False
     # model width plan (reference widths by default). The multi-chip dryrun uses
     # skinny widths: identical program/sharding structure, ~50x fewer FLOPs.
     base_features: Tuple[int, ...] = (16, 32, 64, 128, 256, 256)

@@ -50,7 +50,8 @@ class Conv3x3x3(nn.Module):
     level falls back to the XLA conv."""
     features: int
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: bool = False     # False | True/'fwd' (Pallas fwd, XLA grads)
+                                 # | 'full' (Pallas fwd + dx + dw kernels)
 
     @nn.compact
     def __call__(self, x):
@@ -63,7 +64,9 @@ class Conv3x3x3(nn.Module):
                                                   dtype=self.dtype)
         if (self.use_pallas and jax.default_backend() == 'tpu'
                 and pallas_conv3d.supports_conv3d(x.shape, kernel.shape)):
-            y = pallas_conv3d.conv3d(x, kernel)
+            conv = (pallas_conv3d.conv3d_pg if self.use_pallas == 'full'
+                    else pallas_conv3d.conv3d)
+            y = conv(x, kernel)
         else:
             y = pallas_conv3d._xla_conv(x, kernel)
         return y + bias

@@ -11,10 +11,10 @@ lane dim). Structure (respecting every Mosaic constraint learned on this chip
   dot with a *static* sublane offset dy*W+dx — M=512 spans 4 MXU tiles per
   pass instead of 1, and no in-kernel reshape is ever needed;
 * flattening makes the x-halo wrap: at tap dx=+-1 the row-edge points read the
-  neighbouring row's first/last element instead of the zero pad. The wrong
-  contributions sit at 4 static M positions and are cancelled with a one-hot
-  (512, 4) matmul against the neighbour rows' (4, Ci) values — zero rows
-  (true halo) cancel nothing, exactly reproducing SAME zero padding;
+  neighbouring row's first/last element instead of the zero pad. SAME zero
+  padding means the TRUE contribution at those points is exactly zero, so the
+  shifted operand is multiplied by a static (P, 1) row mask that zeroes the
+  edge rows — one VPU multiply per edge tap, no correction matmuls;
 * per grid step a (TZ+2, (TY+3)*W, Cp) halo window is DMAd to VMEM
   (double-buffered across steps; the extra leading W rows keep all static
   offsets non-negative).
@@ -27,7 +27,6 @@ accumulation (bf16 inputs -> bf16 MXU passes; f32 inputs -> Precision.HIGHEST).
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -48,23 +47,17 @@ def supports_conv3d(x_shape, w_shape):
     return W % 128 == 0 and D % TZ == 0 and H % TY == 0
 
 
-def _edge_scatter(P, W, edge_x):
-    """(P, TY) one-hot: column r marks M position r*W + edge_x."""
-    m = np.zeros((P, TY), np.float32)
-    for r in range(TY):
-        m[r * W + edge_x, r] = 1.0
-    return m
-
-
-def _kernel(x_ref, w_ref, scat_ref, out_ref, scratch, sems, *, W, Cp, Co,
-            nz, ny, n_total, precision, dtype):
+def _edge_masks(W, dtype):
+    """(2, P, 1) row masks: [0] zeroes x==0 rows (dx=-1 wrap), [1] zeroes
+    x==W-1 rows (dx=+1 wrap). The flat-plane wrap reads land exactly on these
+    rows, where SAME zero padding makes the true contribution zero."""
     P = TY * W
-    win = (TY + 3) * W + 8     # +8: the (dy=2, dx=+1) window needs one extra row
-    b = pl.program_id(0)
-    zi = pl.program_id(1)
-    yi = pl.program_id(2)
-    g = (b * nz + zi) * ny + yi
+    col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % W
+    return ((col != 0).astype(dtype), (col != W - 1).astype(dtype))
 
+
+def _window_dma(x_ref, scratch, sems, nz, ny, W, win):
+    """Double-buffered halo-window DMA shared by the fwd and wgrad kernels."""
     def dma(g_, slot):
         b_ = g_ // (nz * ny)
         z_ = (g_ // ny) % nz
@@ -74,7 +67,19 @@ def _kernel(x_ref, w_ref, scat_ref, out_ref, scratch, sems, *, W, Cp, Co,
             scratch.at[slot],
             sems.at[slot],
         )
+    return dma
 
+
+def _kernel(x_ref, w_ref, out_ref, scratch, sems, *, W, Cp, Co,
+            nz, ny, n_total, precision, dtype):
+    P = TY * W
+    win = (TY + 3) * W + 8     # +8: the (dy=2, dx=+1) window needs one extra row
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    g = (b * nz + zi) * ny + yi
+
+    dma = _window_dma(x_ref, scratch, sems, nz, ny, W, win)
     slot = jax.lax.rem(g, 2)
 
     @pl.when(g == 0)
@@ -92,36 +97,21 @@ def _kernel(x_ref, w_ref, scat_ref, out_ref, scratch, sems, *, W, Cp, Co,
                                    preferred_element_type=jnp.float32,
                                    precision=precision)
 
-    left = scat_ref[0]
-    right = scat_ref[1]
-
-    def rows(z, dz, positions):
-        """(TY, Cp) stack of single window rows at the given static offsets."""
-        return jnp.concatenate(
-            [scratch[slot, z + dz, p:p + 1, :] for p in positions], axis=0)
+    mask_l, mask_r = _edge_masks(W, scratch.dtype)
 
     for z in range(TZ):
         acc = jnp.zeros((P, Co), jnp.float32)
-        corr_r = jnp.zeros((TY, Co), jnp.float32)
-        corr_l = jnp.zeros((TY, Co), jnp.float32)
         for dz in range(3):
             for dy in range(3):
                 base = W + dy * W          # window-relative row of (r=0, x=0)
                 for dx in (-1, 0, 1):
                     tap = w_ref[(dz * 3 + dy) * 3 + (dx + 1)]
                     sl = scratch[slot, z + dz, base + dx:base + dx + P, :]
-                    acc = acc + dot(sl, tap)
-                    # flat-wrap reads to cancel: at dx=+1 the x=W-1 points read
-                    # the NEXT row's x=0; at dx=-1 the x=0 points read the
-                    # PREVIOUS row's x=W-1. Accumulate the per-row neighbour
-                    # contributions; one scatter per side per z below.
                     if dx == 1:
-                        nb = rows(z, dz, [base + (r + 1) * W for r in range(TY)])
-                        corr_r = corr_r + dot(nb, tap)
+                        sl = sl * mask_r
                     elif dx == -1:
-                        nb = rows(z, dz, [base + r * W - 1 for r in range(TY)])
-                        corr_l = corr_l + dot(nb, tap)
-        acc = acc - dot(right, corr_r) - dot(left, corr_l)
+                        sl = sl * mask_l
+                    acc = acc + dot(sl, tap)
         out_ref[0, z] = acc.astype(out_ref.dtype)
 
 
@@ -145,10 +135,6 @@ def conv3d_pallas(x, w):
     precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
 
-    scat = jnp.asarray(np.stack([_edge_scatter(TY * W, W, 0),
-                                 _edge_scatter(TY * W, W, W - 1)]),
-                       jnp.float32)
-
     nz, ny = D // TZ, H // TY
     out = pl.pallas_call(
         partial(_kernel, W=W, Cp=Cp, Co=Co, nz=nz, ny=ny,
@@ -158,7 +144,6 @@ def conv3d_pallas(x, w):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),    # padded flat operand
             pl.BlockSpec(memory_space=pltpu.VMEM),   # (27, Cp, Co) weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # (2, P, TY) edge scatters
         ],
         out_specs=pl.BlockSpec(
             (1, TZ, TY * W, Co),
@@ -168,12 +153,113 @@ def conv3d_pallas(x, w):
             pltpu.VMEM((2, TZ + 2, (TY + 3) * W + 8, Cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(xp, w_flat, scat)
+    )(xp, w_flat)
 
     # un-tile: (B*nz*ny, TZ, TY*W, Co) -> (B, D, H, W, Co)
     out = out.reshape(B, nz, ny, TZ, TY, W, Co)
     out = jnp.transpose(out, (0, 1, 3, 2, 4, 5, 6))
     return out.reshape(B, D, H, W, Co)
+
+
+def _wgrad_kernel(x_ref, g_ref, out_ref, scratch, sems, *, W, Cp, Co,
+                  nz, ny, n_total, precision):
+    """dL/dw: for each tap, contract the shifted operand window against the
+    cotangent tile over all P points, accumulating (27, Cp, Co) across the
+    whole grid (constant-index output block). This is XLA's weakest conv
+    piece (7-16 TF/s measured): here every tap is one (Cp, P=512) x (P, Co)
+    MXU pass with a K=512 contraction."""
+    P = TY * W
+    win = (TY + 3) * W + 8
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    gi = (b * nz + zi) * ny + yi
+
+    dma = _window_dma(x_ref, scratch, sems, nz, ny, W, win)
+    slot = jax.lax.rem(gi, 2)
+
+    @pl.when(gi == 0)
+    def _():
+        dma(gi, slot).start()
+
+    @pl.when(gi + 1 < n_total)
+    def _():
+        dma(gi + 1, 1 - slot).start()
+
+    dma(gi, slot).wait()
+
+    def dot_t(a, bmat):    # (P, Cp) x (P, Co) -> (Cp, Co), contract over P
+        return jax.lax.dot_general(a, bmat, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+
+    mask_l, mask_r = _edge_masks(W, g_ref.dtype)
+    gz = [g_ref[0, z] for z in range(TZ)]
+
+    accs = [None] * 27
+    for dx in (-1, 0, 1):
+        # masking the cotangent zeroes the flat-wrap points, where the true
+        # operand contribution is the SAME zero pad (mirror of the fwd masks)
+        if dx == 1:
+            gv = [v * mask_r for v in gz]
+        elif dx == -1:
+            gv = [v * mask_l for v in gz]
+        else:
+            gv = gz
+        for dz in range(3):
+            for dy in range(3):
+                base = W + dy * W
+                acc = jnp.zeros((Cp, Co), jnp.float32)
+                for z in range(TZ):
+                    sl = scratch[slot, z + dz, base + dx:base + dx + P, :]
+                    acc = acc + dot_t(sl, gv[z])
+                accs[(dz * 3 + dy) * 3 + dx + 1] = acc
+
+    @pl.when(gi == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for i in range(27):
+        out_ref[i] = out_ref[i] + accs[i]
+
+
+@jax.jit
+def conv3d_wgrad_pallas(x, g):
+    """Weight gradient of the 3^3 SAME conv: (B, D, H, W, Ci) operand and
+    (B, D, H, W, Co) cotangent -> (3, 3, 3, Ci, Co) float32."""
+    B, D, H, W, Ci = x.shape
+    Co = g.shape[4]
+    assert g.shape[:4] == x.shape[:4] and g.dtype == x.dtype, (x.shape, g.shape)
+    assert supports_conv3d(x.shape, (3, 3, 3, Ci, Co))
+
+    Cp = -(-Ci // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, Cp - Ci)))
+    xp = xp.reshape(B, D + 2, (H + 2) * W, Cp)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (W, 8), (0, 0)))
+    gf = g.reshape(B, D, H * W, Co)
+    precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
+    nz, ny = D // TZ, H // TY
+    dw = pl.pallas_call(
+        partial(_wgrad_kernel, W=W, Cp=Cp, Co=Co, nz=nz, ny=ny,
+                n_total=B * nz * ny, precision=precision),
+        out_shape=jax.ShapeDtypeStruct((27, Cp, Co), jnp.float32),
+        grid=(B, nz, ny),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),    # padded flat operand
+            pl.BlockSpec((1, TZ, TY * W, Co),
+                         lambda b, zi, yi: (b, zi, yi, 0),
+                         memory_space=pltpu.VMEM),   # cotangent tile
+        ],
+        out_specs=pl.BlockSpec((27, Cp, Co), lambda b, zi, yi: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, TZ + 2, (TY + 3) * W + 8, Cp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(xp, gf)
+    return dw[:, :Ci, :].reshape(3, 3, 3, Ci, Co)
 
 
 def _xla_conv(x, w):
@@ -204,3 +290,32 @@ def _conv3d_bwd(res, g):
 
 
 conv3d.defvjp(_conv3d_fwd, _conv3d_bwd)
+
+
+@jax.custom_vjp
+def conv3d_pg(x, w):
+    """3^3 SAME conv with Pallas forward AND Pallas gradients:
+
+    * dx is itself a 3^3 SAME conv of the cotangent with the spatially flipped
+      IO-swapped kernel — the forward Pallas kernel handles it directly;
+    * dw runs the dedicated wgrad kernel (XLA's weakest piece).
+    Falls back to the XLA transposes per-piece when a shape doesn't qualify.
+    """
+    return conv3d_pallas(x, w)
+
+
+def _conv3d_pg_bwd(res, g):
+    x, w = res
+    w_t = jnp.flip(w, (0, 1, 2)).swapaxes(3, 4)
+    if supports_conv3d(g.shape, w_t.shape):
+        dx = conv3d_pallas(g, w_t.astype(g.dtype)).astype(x.dtype)
+    else:
+        dx = jax.linear_transpose(lambda x_: _xla_conv(x_, w), x)(g)[0]
+    if supports_conv3d(x.shape, w.shape) and g.dtype == x.dtype:
+        dw = conv3d_wgrad_pallas(x, g).astype(w.dtype)
+    else:
+        dw = jax.linear_transpose(lambda w_: _xla_conv(x, w_), w)(g)[0]
+    return dx, dw
+
+
+conv3d_pg.defvjp(_conv3d_fwd, _conv3d_pg_bwd)

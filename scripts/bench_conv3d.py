@@ -69,11 +69,21 @@ def main(dtype=jnp.bfloat16):
                 return pull(cot)
             return jax.jit(f)
 
+        fw = jax.jit(c3.conv3d_wgrad_pallas)
+        tw = timeit(fw, x, cot, n=5)
+        dwr = jax.jit(jax.grad(lambda w_: (c3._xla_conv(x, w_) * cot).sum()))
+        twx = timeit(dwr, w, n=5)
+        werr = float(jnp.max(jnp.abs(fw(x, cot) - dwr(w).astype(jnp.float32))))
+        print(f"{name}: wgrad xla {twx*1e3:7.2f} ms ({flops/twx/1e12:5.1f} TF/s)  "
+              f"pallas {tw*1e3:7.2f} ms ({flops/tw/1e12:5.1f} TF/s)  "
+              f"speedup {twx/tw:4.2f}x  maxerr {werr:.3e}", flush=True)
+
         gx = timeit(vjp_of(c3._xla_conv), x, w, n=5)
         gp = timeit(vjp_of(c3.conv3d), x, w, n=5)
+        gg = timeit(vjp_of(c3.conv3d_pg), x, w, n=5)
         print(f"{name}: fwd+bwd xla {gx*1e3:7.2f} ms ({3*flops/gx/1e12:5.1f} TF/s)  "
-              f"pallas-fwd {gp*1e3:7.2f} ms ({3*flops/gp/1e12:5.1f} TF/s)  "
-              f"speedup {gx/gp:4.2f}x", flush=True)
+              f"pallas-fwd {gp*1e3:7.2f} ms  all-pallas {gg*1e3:7.2f} ms  "
+              f"speedup {gx/gp:4.2f}x / {gx/gg:4.2f}x", flush=True)
 
 
 if __name__ == "__main__":
