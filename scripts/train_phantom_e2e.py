@@ -228,8 +228,8 @@ def plot_curves(stages, png_path):
     ax2.set_xlabel("epoch (stage-sweep global)", fontsize=9, color=INK)
     ax2.legend(frameon=False, fontsize=8, labelcolor=INK, loc="upper left")
 
-    fig.suptitle("Phantom end-to-end stage sweep (TPU, bf16, 128³)",
-                 fontsize=10, color=INK, y=0.99)
+    fig.suptitle("Phantom end-to-end stage sweep", fontsize=10, color=INK,
+                 y=0.99)
     fig.savefig(png_path, dpi=150, bbox_inches="tight")
     plt.close(fig)
     print(f"wrote {png_path}")
