@@ -48,12 +48,16 @@ def supports_conv3d(x_shape, w_shape):
 
 
 def _edge_masks(W, dtype):
-    """(2, P, 1) row masks: [0] zeroes x==0 rows (dx=-1 wrap), [1] zeroes
+    """(P, 1) row masks: [0] zeroes x==0 rows (dx=-1 wrap), [1] zeroes
     x==W-1 rows (dx=+1 wrap). The flat-plane wrap reads land exactly on these
-    rows, where SAME zero padding makes the true contribution zero."""
+    rows, where SAME zero padding makes the true contribution zero. Built with
+    integer min() instead of bool compares: large i1 vectors hit a Mosaic
+    relayout bug on this chip (PERF.md, round-1 volume-kernel note)."""
     P = TY * W
     col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % W
-    return ((col != 0).astype(dtype), (col != W - 1).astype(dtype))
+    mask_l = jnp.minimum(col, 1).astype(dtype)              # 0 iff col == 0
+    mask_r = jnp.minimum(W - 1 - col, 1).astype(dtype)      # 0 iff col == W-1
+    return mask_l, mask_r
 
 
 def _window_dma(x_ref, scratch, sems, nz, ny, W, win):
@@ -217,7 +221,7 @@ def _wgrad_kernel(x_ref, g_ref, out_ref, scratch, sems, *, W, Cp, Co,
 
     @pl.when(gi == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     for i in range(27):
         out_ref[i] = out_ref[i] + accs[i]
