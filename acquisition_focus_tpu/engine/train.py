@@ -455,14 +455,17 @@ def train_step(spec: StageSpec, unet, atms, recon_opt, trans_opt,
         micro, key = inp
         (loss, aux), grads = grad_fn((unet_params, atm_params), micro, key)
         grads_acc = jax.tree_util.tree_map(lambda a, g: a + g / accum, grads_acc, grads)
-        pred, dice = _metrics_from_logits(spec, aux['logits'], aux['target_onehot'])
-        return (grads_acc, None), (loss, dice, pred)
+        # dice only: dense predictions are an eval_step concern — returning them
+        # from train_step materializes (accum, B, S^3) int32 per step that every
+        # caller discards (and jit outputs cannot be DCEd)
+        _, dice = _metrics_from_logits(spec, aux['logits'], aux['target_onehot'])
+        return (grads_acc, None), (loss, dice)
 
     zero_grads = jax.tree_util.tree_map(
         jnp.zeros_like, (unet_params, atm_params))
     keys = jax.random.split(rng, accum)
     micro_batches = batch  # leaves already (accum, B, ...)
-    (grads, _), (losses, dices, preds) = jax.lax.scan(
+    (grads, _), (losses, dices) = jax.lax.scan(
         scan_body, (zero_grads, None), (micro_batches, keys))
 
     unet_grads, atm_grads = grads
@@ -494,7 +497,7 @@ def train_step(spec: StageSpec, unet, atms, recon_opt, trans_opt,
 
     metrics = {'loss': losses.mean(), 'dice': dices.reshape(-1, dices.shape[-1])}
     return (unet_params, atm_params, recon_opt_state, trans_opt_state,
-            metrics, preds)
+            metrics, None)
 
 
 @partial(jax.jit, static_argnames=('spec', 'unet', 'atms', 'with_aug', 'seg_model'))
