@@ -97,8 +97,8 @@ def collect_artifacts(run_root, out_dir, wall_s=None):
     # last-epoch learned affines from the final run that dumped artifacts
     affines_pkl = None
     for rd in reversed(run_dirs):
-        pkls = sorted(rd.glob("artifacts/affines_*val*.pkl")) or \
-            sorted(rd.glob("artifacts/affines_*.pkl"))
+        pkls = sorted(rd.glob("output/val/affines_*.pkl")) or \
+            sorted(rd.glob("output/*/affines_*.pkl"))
         if pkls:
             shutil.copy(pkls[-1], out_dir / "affines_final.pkl")
             affines_pkl = pkls[-1]
@@ -242,6 +242,11 @@ if __name__ == "__main__":
     p.add_argument("--spat", type=int, default=128)
     p.add_argument("--fov_mult", type=float, default=1.5)
     p.add_argument("--n_cases", type=int, default=14)
+    p.add_argument("--views", nargs="*", default=None,
+                   help="base view names; 'RND' gives each view a strong fixed "
+                        "random rotation (the degraded-initialization ablation: "
+                        "the ref stage keeps the random planes frozen while "
+                        "opt_view* stages must recover informative ones)")
     p.add_argument("--base_features", type=int, nargs="*", default=None)
     p.add_argument("--locnet_width", type=int, default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
@@ -261,4 +266,5 @@ if __name__ == "__main__":
         run(epochs=a.epochs, spat=a.spat, fov_mult=a.fov_mult,
             n_cases=a.n_cases, base_features=a.base_features or None,
             locnet_width=a.locnet_width,
+            views=tuple(a.views) if a.views else ("p2CH", "p4CH", "SA-7"),
             compute_dtype=a.compute_dtype, data_dir=a.data_dir, out_dir=a.out_dir)
