@@ -44,10 +44,29 @@ def timeit(f, *args, n=10):
     return (time.time() - t0) / n
 
 
-def main(dtype=jnp.bfloat16):
+def _phase(label, fn):
+    """Run one measurement phase; print its result IMMEDIATELY and never let a
+    backend crash (the axon remote-compile service can die mid-run, PERF.md)
+    lose the numbers already printed. Each print carries its own wall so the
+    compile cost of the phase is visible too."""
+    t0 = time.time()
+    try:
+        msg = fn()
+        print(f"{label}: {msg}  [phase wall {time.time() - t0:.0f}s]",
+              flush=True)
+        return True
+    except Exception as e:
+        print(f"{label}: FAILED after {time.time() - t0:.0f}s: "
+              f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+        return False
+
+
+def main(dtype=jnp.bfloat16, shapes=None, phases=("fwd", "wgrad", "vjp")):
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     for name, xs, co in SHAPES:
+        if shapes and name not in shapes:
+            continue
         B, D, H, W, Ci = xs
         flops = 2 * B * D * H * W * 27 * Ci * co
         x = jnp.asarray(rng.normal(size=xs), dtype)
@@ -56,35 +75,73 @@ def main(dtype=jnp.bfloat16):
 
         fx = jax.jit(c3._xla_conv)
         fp = jax.jit(c3.conv3d_pallas)
-        tx = timeit(fx, x, w)
-        tp = timeit(fp, x, w)
-        err = float(jnp.max(jnp.abs((fp(x, w) - fx(x, w)).astype(jnp.float32))))
-        print(f"{name}: fwd xla {tx*1e3:7.2f} ms ({flops/tx/1e12:5.1f} TF/s)  "
-              f"pallas {tp*1e3:7.2f} ms ({flops/tp/1e12:5.1f} TF/s)  "
-              f"speedup {tx/tp:4.2f}x  maxerr {err:.3e}", flush=True)
 
-        def vjp_of(conv):
-            def f(x_, w_):
-                y, pull = jax.vjp(conv, x_, w_)
-                return pull(cot)
-            return jax.jit(f)
+        if "fwd" in phases:
+            def fwd_xla():
+                tx = timeit(fx, x, w)
+                main.tx = tx
+                return f"{tx*1e3:7.2f} ms ({flops/tx/1e12:5.1f} TF/s)"
+            def fwd_pallas():
+                tp = timeit(fp, x, w)
+                err = float(jnp.max(jnp.abs(
+                    (fp(x, w) - fx(x, w)).astype(jnp.float32))))
+                sp = f"  speedup {main.tx/tp:4.2f}x" if hasattr(main, 'tx') else ""
+                return (f"{tp*1e3:7.2f} ms ({flops/tp/1e12:5.1f} TF/s)"
+                        f"{sp}  maxerr {err:.3e}")
+            _phase(f"{name}: fwd xla", fwd_xla)
+            _phase(f"{name}: fwd pallas", fwd_pallas)
 
-        fw = jax.jit(c3.conv3d_wgrad_pallas)
-        tw = timeit(fw, x, cot, n=5)
-        dwr = jax.jit(jax.grad(lambda w_: (c3._xla_conv(x, w_) * cot).sum()))
-        twx = timeit(dwr, w, n=5)
-        werr = float(jnp.max(jnp.abs(fw(x, cot) - dwr(w).astype(jnp.float32))))
-        print(f"{name}: wgrad xla {twx*1e3:7.2f} ms ({flops/twx/1e12:5.1f} TF/s)  "
-              f"pallas {tw*1e3:7.2f} ms ({flops/tw/1e12:5.1f} TF/s)  "
-              f"speedup {twx/tw:4.2f}x  maxerr {werr:.3e}", flush=True)
+        if "wgrad" in phases:
+            def wgrad_pallas():
+                fw = jax.jit(c3.conv3d_wgrad_pallas)
+                tw = timeit(fw, x, cot, n=5)
+                main.tw = tw
+                return f"{tw*1e3:7.2f} ms ({flops/tw/1e12:5.1f} TF/s)"
+            def wgrad_xla():
+                dwr = jax.jit(jax.grad(
+                    lambda w_: (c3._xla_conv(x, w_) * cot).sum()))
+                twx = timeit(dwr, w, n=5)
+                fw = jax.jit(c3.conv3d_wgrad_pallas)
+                werr = float(jnp.max(jnp.abs(
+                    fw(x, cot) - dwr(w).astype(jnp.float32))))
+                sp = (f"  speedup {twx/main.tw:4.2f}x"
+                      if hasattr(main, 'tw') else "")
+                return (f"{twx*1e3:7.2f} ms ({flops/twx/1e12:5.1f} TF/s)"
+                        f"{sp}  maxerr {werr:.3e}")
+            _phase(f"{name}: wgrad pallas", wgrad_pallas)
+            _phase(f"{name}: wgrad xla", wgrad_xla)
 
-        gx = timeit(vjp_of(c3._xla_conv), x, w, n=5)
-        gp = timeit(vjp_of(c3.conv3d), x, w, n=5)
-        gg = timeit(vjp_of(c3.conv3d_pg), x, w, n=5)
-        print(f"{name}: fwd+bwd xla {gx*1e3:7.2f} ms ({3*flops/gx/1e12:5.1f} TF/s)  "
-              f"pallas-fwd {gp*1e3:7.2f} ms  all-pallas {gg*1e3:7.2f} ms  "
-              f"speedup {gx/gp:4.2f}x / {gx/gg:4.2f}x", flush=True)
+        if "vjp" in phases:
+            def vjp_of(conv):
+                def f(x_, w_):
+                    y, pull = jax.vjp(conv, x_, w_)
+                    return pull(cot)
+                return jax.jit(f)
+            def vjp_xla():
+                gx = timeit(vjp_of(c3._xla_conv), x, w, n=5)
+                main.gx = gx
+                return f"{gx*1e3:7.2f} ms ({3*flops/gx/1e12:5.1f} TF/s)"
+            def vjp_pfwd():
+                gp = timeit(vjp_of(c3.conv3d), x, w, n=5)
+                sp = f"  speedup {main.gx/gp:4.2f}x" if hasattr(main, 'gx') else ""
+                return f"{gp*1e3:7.2f} ms{sp}"
+            def vjp_full():
+                gg = timeit(vjp_of(c3.conv3d_pg), x, w, n=5)
+                sp = f"  speedup {main.gx/gg:4.2f}x" if hasattr(main, 'gx') else ""
+                return f"{gg*1e3:7.2f} ms{sp}"
+            _phase(f"{name}: fwd+bwd xla", vjp_xla)
+            _phase(f"{name}: fwd+bwd pallas-fwd", vjp_pfwd)
+            _phase(f"{name}: fwd+bwd all-pallas", vjp_full)
 
 
 if __name__ == "__main__":
-    main(jnp.float32 if "--f32" in sys.argv else jnp.bfloat16)
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--f32", action="store_true")
+    p.add_argument("--shapes", nargs="*", default=None,
+                   help="subset of shape names (default all)")
+    p.add_argument("--phases", nargs="*", default=["fwd", "wgrad", "vjp"],
+                   choices=["fwd", "wgrad", "vjp"])
+    a = p.parse_args()
+    main(jnp.float32 if a.f32 else jnp.bfloat16,
+         shapes=a.shapes, phases=tuple(a.phases))
