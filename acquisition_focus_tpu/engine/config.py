@@ -73,8 +73,12 @@ DEFAULTS = DotDict(
     atm_remat=False,                 # True: fully recompute ATM conv chains in bwd
     unet_remat=False,                # True: fully recompute U-Net skip/decoder stages
                                      # (False = policy remat: save bf16 conv outs only)
-    use_pallas_conv3d=False,         # Pallas conv on full-res decoder level:
-                                     # False | 'fwd' (XLA grads) | 'full' (all Pallas)
+    use_pallas_conv3d='fwd',         # Pallas conv on full-res decoder level:
+                                     # False | 'fwd' (XLA grads) | 'full' (all Pallas).
+                                     # 'fwd' measured fastest end-to-end on v5e
+                                     # (2.263 vs 2.326 s/step; 'full' 2.313 — the
+                                     # wgrad kernel loses to XLA standalone, PERF.md);
+                                     # no-op off-TPU or at non-128-multiple widths
 
     mesh_shape=None,                 # e.g. {"data": 8}; None = single device
     stop_at_epoch=None,              # pause a run early; schedules still span `epochs`

@@ -52,7 +52,9 @@ def build_workload(compute_dtype='bfloat16'):
         augment_input=True, num_grad_accum_steps=2,
         compute_dtype=compute_dtype,
         atm_remat=os.environ.get('BENCH_ATM_REMAT', '0') == '1',
-        unet_remat=os.environ.get('BENCH_UNET_REMAT', '0') == '1')
+        unet_remat=os.environ.get('BENCH_UNET_REMAT', '0') == '1',
+        use_pallas_conv3d={'0': False, 'fwd': 'fwd', 'full': 'full'}[
+            os.environ.get('BENCH_PALLAS_CONV3D', 'fwd')])
 
     unet, atms = make_models(spec)
     unet_params, atm_params = init_params(spec, jax.random.key(0), batch_size=1)

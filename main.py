@@ -113,7 +113,10 @@ def main(argv=None):
         if not run_test_once_only else [(0, ([], []))]
 
     now = datetime.now().strftime('%Y%m%d__%H_%M_%S')
-    run_name = f"{now}_tpu"
+    # tag with the platform actually executing, not config['device'] wishful
+    # thinking (a --cpu fallback run used to be named "_tpu")
+    import jax
+    run_name = f"{now}_{jax.default_backend()}"
 
     for fold_properties in fold_iter:
         fold_run_name = f"{run_name}_{get_fold_postfix(fold_properties)}"

@@ -98,12 +98,15 @@ def main(dtype=jnp.bfloat16, shapes=None, phases=("fwd", "wgrad", "vjp")):
                 main.tw = tw
                 return f"{tw*1e3:7.2f} ms ({flops/tw/1e12:5.1f} TF/s)"
             def wgrad_xla():
+                # x/cot MUST be jit arguments: closing over them embeds
+                # ~400 MB of HLO constants and crashes the remote-compile
+                # service (round-3 broken-pipe incident).
                 dwr = jax.jit(jax.grad(
-                    lambda w_: (c3._xla_conv(x, w_) * cot).sum()))
-                twx = timeit(dwr, w, n=5)
+                    lambda w_, x_, c_: (c3._xla_conv(x_, w_) * c_).sum()))
+                twx = timeit(dwr, w, x, cot, n=5)
                 fw = jax.jit(c3.conv3d_wgrad_pallas)
                 werr = float(jnp.max(jnp.abs(
-                    fw(x, cot) - dwr(w).astype(jnp.float32))))
+                    fw(x, cot) - dwr(w, x, cot).astype(jnp.float32))))
                 sp = (f"  speedup {twx/main.tw:4.2f}x"
                       if hasattr(main, 'tw') else "")
                 return (f"{twx*1e3:7.2f} ms ({flops/twx/1e12:5.1f} TF/s)"
@@ -113,20 +116,20 @@ def main(dtype=jnp.bfloat16, shapes=None, phases=("fwd", "wgrad", "vjp")):
 
         if "vjp" in phases:
             def vjp_of(conv):
-                def f(x_, w_):
+                def f(x_, w_, c_):  # c_ as an argument, not a 200 MB constant
                     y, pull = jax.vjp(conv, x_, w_)
-                    return pull(cot)
+                    return pull(c_)
                 return jax.jit(f)
             def vjp_xla():
-                gx = timeit(vjp_of(c3._xla_conv), x, w, n=5)
+                gx = timeit(vjp_of(c3._xla_conv), x, w, cot, n=5)
                 main.gx = gx
                 return f"{gx*1e3:7.2f} ms ({3*flops/gx/1e12:5.1f} TF/s)"
             def vjp_pfwd():
-                gp = timeit(vjp_of(c3.conv3d), x, w, n=5)
+                gp = timeit(vjp_of(c3.conv3d), x, w, cot, n=5)
                 sp = f"  speedup {main.gx/gp:4.2f}x" if hasattr(main, 'gx') else ""
                 return f"{gp*1e3:7.2f} ms{sp}"
             def vjp_full():
-                gg = timeit(vjp_of(c3.conv3d_pg), x, w, n=5)
+                gg = timeit(vjp_of(c3.conv3d_pg), x, w, cot, n=5)
                 sp = f"  speedup {main.gx/gg:4.2f}x" if hasattr(main, 'gx') else ""
                 return f"{gg*1e3:7.2f} ms{sp}"
             _phase(f"{name}: fwd+bwd xla", vjp_xla)
