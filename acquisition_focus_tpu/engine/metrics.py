@@ -1,13 +1,27 @@
 """Segmentation metrics.
 
-Device metrics (dice, IoU, class volumes) are pure jnp; surface metrics (HD/HD95) run
-host-side on numpy via exact Euclidean distance transforms at the reference's cadence
-(every 20th epoch + last + test — reference run_dl.py:499-532). Semantics follow
-monai's ``compute_dice`` / ``compute_iou`` / ``compute_hausdorff_distance``: per-batch
-per-class scores, NaN where the ground truth class is empty.
+Device metrics (dice, IoU, class volumes) are pure jnp; surface metrics (HD/HD95)
+run at the reference's cadence (every 20th epoch + last + test — reference
+run_dl.py:499-532) and exist in two implementations with identical semantics:
+
+* a host-side numpy/scipy exact-EDT path (the original, kept as the CPU fallback
+  and the parity oracle), and
+* a device path (:func:`hausdorff_per_class_device`) computing the exact squared
+  Euclidean distance transform as three separable min-plus passes — each axis pass
+  is ``out[x] = min_j (g[j] + (x-j)^2)``, an elementwise-add + reduce that XLA
+  fuses without materializing the (..., n, n) intermediate. At 128^3 the host path
+  costs ~80-160 s per metric epoch on the 1-core build host; the device path is
+  milliseconds on a v5e.
+
+Semantics follow monai's ``compute_dice`` / ``compute_iou`` /
+``compute_hausdorff_distance``: per-batch per-class scores, NaN where the ground
+truth class is empty.
 """
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from scipy.ndimage import binary_erosion, distance_transform_edt
 
@@ -77,6 +91,104 @@ def hausdorff_per_class(pred_labels, target_labels, num_classes, percentile=None
             out[b, c] = hausdorff_distance(
                 pred_labels[b] == c, target_labels[b] == c, percentile)
     return out
+
+
+def iou_per_class_labels(pred_labels, target_labels, num_classes):
+    """(B, C) IoU from dense int label maps (jittable; avoids building one-hot
+    volumes on the host). Same semantics as :func:`iou_per_class` on one-hots."""
+    pred_labels = jnp.asarray(pred_labels)
+    target_labels = jnp.asarray(target_labels)
+    axes = tuple(range(1, pred_labels.ndim))
+    cols = []
+    for c in range(num_classes):   # static C: unrolled fused passes (PERF.md)
+        p = pred_labels == c
+        t = target_labels == c
+        inter = (p & t).sum(axes).astype(jnp.float32)
+        union = (p | t).sum(axes).astype(jnp.float32)
+        t_sum = t.sum(axes).astype(jnp.float32)
+        iou = inter / jnp.maximum(union, 1e-8)
+        cols.append(jnp.where(t_sum > 0, iou, jnp.nan))
+    return jnp.stack(cols, axis=1)
+
+
+def _erode6_device(mask):
+    """scipy ``binary_erosion`` with the default cross structure and
+    border_value=0: a voxel survives iff it and all 6 face neighbors are set
+    (outside the volume counts as unset)."""
+    out = mask
+    for axis in range(mask.ndim):
+        n = mask.shape[axis]
+        pad = [(1, 1) if a == axis else (0, 0) for a in range(mask.ndim)]
+        padded = jnp.pad(mask, pad, constant_values=False)
+        lo = jax.lax.slice_in_dim(padded, 0, n, axis=axis)
+        hi = jax.lax.slice_in_dim(padded, 2, n + 2, axis=axis)
+        out = out & lo & hi
+    return out
+
+
+_EDT_INF = 4.0e9  # > 3 * 65535^2: farther than any voxel in a representable volume
+
+
+def _minplus_1d(g, axis):
+    """One separable pass of the exact squared EDT along ``axis``:
+    out[x] = min_j (g[j] + (x - j)^2). The broadcastered (..., n, n) operand is
+    consumed by the min-reduce in one XLA fusion (never materialized)."""
+    n = g.shape[axis]
+    g = jnp.moveaxis(g, axis, -1)
+    i = jnp.arange(n, dtype=jnp.float32)
+    d2 = (i[:, None] - i[None, :]) ** 2
+    out = jnp.min(g[..., None, :] + d2, axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def edt_squared_device(mask):
+    """Exact squared Euclidean distance from every voxel to the nearest True
+    voxel of ``mask`` (== scipy ``distance_transform_edt(~mask)**2``). All-False
+    masks yield _EDT_INF everywhere."""
+    g = jnp.where(mask, 0.0, _EDT_INF).astype(jnp.float32)
+    for axis in range(mask.ndim):
+        g = _minplus_1d(g, axis)
+    return g
+
+
+@partial(jax.jit, static_argnames=('num_classes',))
+def hausdorff_per_class_device(pred_labels, target_labels, num_classes):
+    """(B, C, 2) [HD, HD95] in voxels over dense label maps, on device.
+
+    Exact-EDT surface distances with the host implementation's semantics:
+    class 0 is 0 (reference's zero-padded background column, run_dl.py:515,520);
+    NaN when either mask is empty; percentiles use numpy's default linear
+    interpolation (jnp.nanpercentile matches).
+    """
+    pred_labels = jnp.asarray(pred_labels)
+    target_labels = jnp.asarray(target_labels)
+    cls = jnp.arange(1, num_classes)
+    pm = pred_labels[:, None] == cls[None, :, None, None, None]  # (B, C-1, *S)
+    tm = target_labels[:, None] == cls[None, :, None, None, None]
+    B = pm.shape[0]
+    pm = pm.reshape((-1,) + pm.shape[2:])
+    tm = tm.reshape((-1,) + tm.shape[2:])
+
+    def one_pair(pm, tm):
+        # vmapped over B*(C-1) mask pairs: one program instance for all classes
+        # (the unrolled per-class form compiled ~170 s at 128^3 x 6 classes)
+        sp = pm & ~_erode6_device(pm)
+        st = tm & ~_erode6_device(tm)
+        d_to_t = jnp.sqrt(edt_squared_device(st))
+        d_to_p = jnp.sqrt(edt_squared_device(sp))
+        d_pt = jnp.where(sp, d_to_t, jnp.nan)
+        d_tp = jnp.where(st, d_to_p, jnp.nan)
+        vals = jnp.stack([
+            jnp.maximum(jnp.nanmax(d_pt), jnp.nanmax(d_tp)),
+            jnp.maximum(jnp.nanpercentile(d_pt, 95.0),
+                        jnp.nanpercentile(d_tp, 95.0)),
+        ])
+        empty = (~pm.any()) | (~tm.any())
+        return jnp.where(empty, jnp.nan, vals)
+
+    vals = jax.vmap(one_pair)(pm, tm).reshape(B, num_classes - 1, 2)
+    zeros = jnp.zeros((B, 1, 2), vals.dtype)  # class 0 column
+    return jnp.concatenate([zeros, vals], axis=1)
 
 
 def accumulate_label_scores(store, metric_name, scores, label_tags, exclude_bg=True):
