@@ -110,22 +110,36 @@ class S2dConv5(nn.Module):
 
 def instance_norm_stateless_s2d(x, C, eps=1e-5):
     """instance_norm_stateless on a blocked (B, d, h, w, 8C) tensor: per-channel
-    stats pool over space AND the 8 block offsets (== unblocked instance norm)."""
+    stats pool over space AND the 8 block offsets (== unblocked instance norm).
+
+    Implemented WITHOUT reshaping the activation: spatial sums give (B, 8C)
+    moments (tiny), which reduce over the 8 block offsets host-size and re-tile
+    along the lane axis. The previous reshape-to-(B, -1, 8, C) formulation
+    split the lane axis and forced f32 relayout copies of the whole tensor
+    (~5.4 ms per 536 MB reshape, x3 views x fwd+remat — device trace, PERF.md
+    round 3)."""
     B = x.shape[0]
-    spatial = x.shape[1:4]
-    xf = x.astype(jnp.float32).reshape(B, -1, 8, C)
-    mean = xf.mean(axis=(1, 2), keepdims=True)
-    var = xf.var(axis=(1, 2), keepdims=True)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return out.reshape((B,) + spatial + (8 * C,)).astype(x.dtype)
+    n = x.shape[1] * x.shape[2] * x.shape[3] * 8
+    xf = x.astype(jnp.float32)
+    mean_c = xf.sum(axis=(1, 2, 3)).reshape(B, 8, C).sum(axis=1) / n   # (B, C)
+    mean8 = jnp.tile(mean_c, (1, 8))[:, None, None, None, :]  # lane idx r*C+c
+    var_c = jnp.square(xf - mean8).sum(axis=(1, 2, 3)) \
+        .reshape(B, 8, C).sum(axis=1) / n
+    rstd8 = jnp.tile(jax.lax.rsqrt(var_c + eps), (1, 8))[:, None, None, None, :]
+    return ((xf - mean8) * rstd8).astype(x.dtype)
 
 
 def pool_from_s2d(x, C):
     """2x2x2/stride-2 average pool of the unblocked tensor == mean over the 8
-    block offsets: (B, d, h, w, 8C) -> (B, d, h, w, C)."""
-    B = x.shape[0]
-    spatial = x.shape[1:4]
-    return x.reshape((B,) + spatial + (8, C)).mean(axis=4)
+    block offsets: (B, d, h, w, 8C) -> (B, d, h, w, C).
+
+    Static lane slices + adds (one fused pass, f32 accumulation) instead of a
+    reshape-to-(..., 8, C) mean, which split the lane axis and relayout-copied
+    the whole tensor (device trace, PERF.md round 3)."""
+    acc = x[..., :C].astype(jnp.float32)
+    for r in range(1, 8):
+        acc = acc + x[..., r * C:(r + 1) * C].astype(jnp.float32)
+    return (acc / 8.0).astype(x.dtype)
 
 
 class ConvNet(nn.Module):

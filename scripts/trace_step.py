@@ -52,24 +52,48 @@ def newest_trace(out_dir):
 
 
 def load_device_events(trace_path):
-    """-> list of (name, dur_us, args) for events on TPU device tracks."""
+    """-> list of (name, self_dur_us, args) for events on the device "XLA Ops"
+    lane. Ops nest (scan body inside while, branch ops inside conditional), so
+    durations are converted to EXCLUSIVE self-time via interval nesting —
+    otherwise envelopes double-count everything they contain."""
     with gzip.open(trace_path, 'rt') as f:
         data = json.load(f)
     events = data.get('traceEvents', [])
-    # device pids: processes whose name mentions TPU/device (not host threads)
-    device_pids = set()
+    names, tnames = {}, {}
     for ev in events:
-        if ev.get('ph') == 'M' and ev.get('name') == 'process_name':
-            pname = ev.get('args', {}).get('name', '')
-            if re.search(r'TPU|/device:|XLA Op', pname, re.I):
-                device_pids.add(ev['pid'])
-    out = []
+        if ev.get('ph') == 'M':
+            if ev.get('name') == 'process_name':
+                names[ev['pid']] = ev.get('args', {}).get('name', '')
+            elif ev.get('name') == 'thread_name':
+                tnames[(ev['pid'], ev.get('tid'))] = \
+                    ev.get('args', {}).get('name', '')
+    lanes = defaultdict(list)
     for ev in events:
         if ev.get('ph') != 'X' or 'dur' not in ev:
             continue
-        if device_pids and ev.get('pid') not in device_pids:
+        if 'TPU' not in names.get(ev['pid'], ''):
             continue
-        out.append((ev.get('name', '?'), float(ev['dur']), ev.get('args', {})))
+        if tnames.get((ev['pid'], ev.get('tid'))) != 'XLA Ops':
+            continue
+        lanes[(ev['pid'], ev.get('tid'))].append(ev)
+
+    out = []
+    for lane in lanes.values():
+        # nesting stack: children subtract their duration from the parent
+        lane.sort(key=lambda e: (e['ts'], -e['dur']))
+        stack = []  # (end_ts, name, args, remaining_self_dur)
+        for ev in lane:
+            ts, dur = float(ev['ts']), float(ev['dur'])
+            while stack and stack[-1][0] <= ts + 1e-9:
+                end, nm, ar, self_dur = stack.pop()
+                out.append((nm, self_dur, ar))
+            if stack:
+                stack[-1][3] -= dur
+            stack.append([ts + dur, ev.get('name', '?'),
+                          ev.get('args', {}), dur])
+        while stack:
+            end, nm, ar, self_dur = stack.pop()
+            out.append((nm, self_dur, ar))
     return out
 
 
