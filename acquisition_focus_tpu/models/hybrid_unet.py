@@ -51,6 +51,7 @@ class Conv3x3x3(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False     # False | True/'fwd' (Pallas fwd, XLA grads)
+                                 # | 'wg' (Pallas fwd + wgrad, XLA dx)
                                  # | 'full' (Pallas fwd + dx + dw kernels)
 
     @nn.compact
@@ -64,8 +65,9 @@ class Conv3x3x3(nn.Module):
                                                   dtype=self.dtype)
         if (self.use_pallas and jax.default_backend() == 'tpu'
                 and pallas_conv3d.supports_conv3d(x.shape, kernel.shape)):
-            conv = (pallas_conv3d.conv3d_pg if self.use_pallas == 'full'
-                    else pallas_conv3d.conv3d)
+            conv = {'full': pallas_conv3d.conv3d_pg,
+                    'wg': pallas_conv3d.conv3d_wg}.get(
+                        self.use_pallas, pallas_conv3d.conv3d)
             y = conv(x, kernel)
         else:
             y = pallas_conv3d._xla_conv(x, kernel)

@@ -323,3 +323,28 @@ def _conv3d_pg_bwd(res, g):
 
 
 conv3d_pg.defvjp(_conv3d_fwd, _conv3d_pg_bwd)
+
+
+@jax.custom_vjp
+def conv3d_wg(x, w):
+    """3^3 SAME conv: Pallas forward + Pallas WEIGHT grad, XLA input grad.
+
+    Motivation (PERF.md round 3): standalone, XLA's wgrad (29 ms on dec0a)
+    beats the Pallas wgrad kernel (38 ms) — but *inside the training step* the
+    XLA wgrad runs in a fusion context at ~16 TF/s (64 ms), while a Pallas
+    custom call keeps its standalone speed because XLA cannot fuse the remat
+    recompute into it. The input grad stays XLA (strong both ways)."""
+    return conv3d_pallas(x, w)
+
+
+def _conv3d_wg_bwd(res, g):
+    x, w = res
+    dx = jax.linear_transpose(lambda x_: _xla_conv(x_, w), x)(g)[0]
+    if supports_conv3d(x.shape, w.shape) and g.dtype == x.dtype:
+        dw = conv3d_wgrad_pallas(x, g).astype(w.dtype)
+    else:
+        dw = jax.linear_transpose(lambda w_: _xla_conv(x, w_), w)(g)[0]
+    return dx, dw
+
+
+conv3d_wg.defvjp(_conv3d_fwd, _conv3d_wg_bwd)

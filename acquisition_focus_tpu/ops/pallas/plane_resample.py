@@ -134,6 +134,28 @@ def _oy_chunk(iy_col, y_base, YC, S, C, P, with_derivative=False):
     return oy
 
 
+def _chunk_band(iy_row, plane_w, S, YC):
+    """Inclusive [c_lo, c_hi] stage-2 chunk range actually touched by the
+    plane-active points of this tile.
+
+    A point with plane weight zero contributes nothing in either kernel (its
+    oz column / pw_col factor is zero), so only active points' y cells matter:
+    y in [floor(min_iy + eps), floor(max_iy + eps) + 1] (the eps-nudged floor
+    convention of _oy_chunk). Out-of-range cells are masked to zero by
+    _oy_chunk anyway, so clamping into [0, S-1] is exact. Called only under
+    ``max(plane_w) > 0`` — at least one point is active. For the skip
+    connector's affines the band spans a few chunks out of S // YC (up to 128
+    at C=256): this bound is where the kernel's slab skipping extends from
+    whole tiles into the y loop."""
+    big = jnp.float32(3.4e38)
+    iy_min = jnp.min(jnp.where(plane_w > 0.0, iy_row, big))
+    iy_max = jnp.max(jnp.where(plane_w > 0.0, iy_row, -big))
+    y_lo = jnp.clip(jnp.floor(iy_min + 2.0 ** -14).astype(jnp.int32), 0, S - 1)
+    y_hi = jnp.clip(jnp.floor(iy_max + 2.0 ** -14).astype(jnp.int32) + 1,
+                    0, S - 1)
+    return y_lo // YC, y_hi // YC
+
+
 def _channel_tile_matrix(YC, C):
     """(YC*C, C): M[m, c] = 1 iff m % C == c."""
     m = jax.lax.broadcasted_iota(jnp.int32, (YC * C, C), 0) % C
@@ -172,7 +194,7 @@ def _fwd_kernel(coef_ref, slice_ref, out_ref, *, S, dims, tiles_per_axis, C,
                 fast):
     tile = pl.program_id(1)
     P = dims[0] * dims[1] * dims[2]
-    ix_r, _, iz_r, _, _, _ = _tile_point_coords(
+    ix_r, iy_r, iz_r, _, _, _ = _tile_point_coords(
         coef_ref, tile, dims, tiles_per_axis, (1, P), 1)
     _, iy_c, _, _, _, _ = _tile_point_coords(
         coef_ref, tile, dims, tiles_per_axis, (P, 1), 0)
@@ -196,8 +218,9 @@ def _fwd_kernel(coef_ref, slice_ref, out_ref, *, S, dims, tiles_per_axis, C,
             oy_c = _oy_chunk(iy_c, yc * YC, YC, S, C, P)
             return acc + _dot(m_c, r_c * oy_c, ((0,), (1,)), fast)  # (C, P)
 
+        c_lo, c_hi = _chunk_band(iy_r, plane_w, S, YC)
         out_ref[0] = jax.lax.fori_loop(
-            0, S // YC, chunk, jnp.zeros((C, P), jnp.float32))
+            c_lo, c_hi + 1, chunk, jnp.zeros((C, P), jnp.float32))
 
 
 def _bwd_kernel(coef_ref, slice_ref, g_ref, dslice_ref, dcoef_ref,
@@ -210,7 +233,7 @@ def _bwd_kernel(coef_ref, slice_ref, g_ref, dslice_ref, dcoef_ref,
         dslice_ref[...] = jnp.zeros(dslice_ref.shape, dslice_ref.dtype)
         dcoef_ref[...] = jnp.zeros(dcoef_ref.shape, dcoef_ref.dtype)
 
-    ix_r, _, iz_r, _, _, _ = _tile_point_coords(
+    ix_r, iy_r, iz_r, _, _, _ = _tile_point_coords(
         coef_ref, tile, dims, tiles_per_axis, (1, P), 1)
     _, iy_c, _, d_c, h_c, w_c = _tile_point_coords(
         coef_ref, tile, dims, tiles_per_axis, (P, 1), 0)
@@ -254,8 +277,9 @@ def _bwd_kernel(coef_ref, slice_ref, g_ref, dslice_ref, dcoef_ref,
             return out_raw, diy_raw, diz_raw
 
         zeros3 = (jnp.zeros((P, 1), jnp.float32),) * 3
+        c_lo, c_hi = _chunk_band(iy_r, plane_w, S, YC)
         out_raw, diy_raw, diz_raw = jax.lax.fori_loop(
-            0, S // YC, chunk, zeros3)
+            c_lo, c_hi + 1, chunk, zeros3)
 
         dpw_col = _row_to_col(
             jnp.where(jnp.abs(delta) < 1.0, -jnp.sign(delta), 0.0))

@@ -53,7 +53,8 @@ def build_workload(compute_dtype='bfloat16'):
         compute_dtype=compute_dtype,
         atm_remat=os.environ.get('BENCH_ATM_REMAT', '0') == '1',
         unet_remat=os.environ.get('BENCH_UNET_REMAT', '0') == '1',
-        use_pallas_conv3d={'0': False, 'fwd': 'fwd', 'full': 'full'}[
+        use_pallas_conv3d={'0': False, 'fwd': 'fwd', 'wg': 'wg',
+                           'full': 'full'}[
             os.environ.get('BENCH_PALLAS_CONV3D', 'fwd')])
 
     unet, atms = make_models(spec)
