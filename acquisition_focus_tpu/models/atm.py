@@ -96,14 +96,17 @@ class AffineTransformModule(nn.Module):
     zoom_clip_value: float = 0.0
     dtype: jnp.dtype = jnp.float32
     locnet_width: int = 32
+    pre_blocked: bool = False
 
     @nn.compact
     def __call__(self, x_prescan):
-        """x_prescan: (B, D, H, W, C) channels-last prescan volume. -> (B, 4, 4)."""
+        """x_prescan: (B, D, H, W, C) channels-last prescan volume (or its
+        space_to_depth blocking when ``pre_blocked``). -> (B, 4, 4)."""
         ap_space, _ = _OPTIM_METHODS[self.optim_method]
         vox_range = vox_range_for_clip(self.offset_clip_value, self.prescan_spat)
         head = LocalizationNet(ap_space + 3 * vox_range + 1, dtype=self.dtype,
-                               width=self.locnet_width)(x_prescan)
+                               width=self.locnet_width,
+                               pre_blocked=self.pre_blocked)(x_prescan)
         return atm_theta_from_heads(
             head, self.optim_method, self.prescan_spat,
             self.offset_clip_value, self.zoom_clip_value)
@@ -162,10 +165,24 @@ def apply_stacked_atms(stacked_params, x_prescans, *, optim_method, prescan_spat
     Returns: (V, B, 4, 4).
     """
     import jax
+    from acquisition_focus_tpu.models.localization import space_to_depth
+
+    # Hoist the space_to_depth blocking of the (no-grad) locnet input out of the
+    # per-view checkpoint: the blocking is a pure relayout copy (~4.8 ms per
+    # view at 128^3x6ch, device trace) that the remat policy would otherwise
+    # recompute in every view's backward. Blocked here, the saved residual IS
+    # the blocked tensor (same bytes) and backward recompute starts at Conv_0.
+    pre_blocked = all(s % 2 == 0 for s in x_prescans.shape[2:5])
+    if pre_blocked:
+        V_, B_ = x_prescans.shape[:2]
+        flat = space_to_depth(
+            x_prescans.reshape((V_ * B_,) + x_prescans.shape[2:]))
+        x_prescans = flat.reshape((V_, B_) + flat.shape[1:])
+
     module = AffineTransformModule(
         optim_method=optim_method, prescan_spat=prescan_spat,
         offset_clip_value=offset_clip_value, zoom_clip_value=zoom_clip_value,
-        dtype=dtype, locnet_width=locnet_width)
+        dtype=dtype, locnet_width=locnet_width, pre_blocked=pre_blocked)
     V = x_prescans.shape[0]
     inner = stacked_params['params']['atms']
 

@@ -51,6 +51,11 @@ class Conv3x3x3(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False     # False | True/'fwd' (Pallas fwd, XLA grads)
+                                 # | 'fwdN' (Pallas fwd only when Ci >= N: the
+                                 #   kernel contracts over Ci padded to the 128
+                                 #   lane width, so small-Ci convs run at low
+                                 #   MXU occupancy — e.g. 13.5 TF/s at Ci=48 vs
+                                 #   30.9 at Ci=96, device trace round 3)
                                  # | 'wg' (Pallas fwd + wgrad, XLA dx)
                                  # | 'full' (Pallas fwd + dx + dw kernels)
 
@@ -63,11 +68,14 @@ class Conv3x3x3(nn.Module):
                           (self.features,), jnp.float32)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
-        if (self.use_pallas and jax.default_backend() == 'tpu'
+        mode = self.use_pallas
+        if isinstance(mode, str) and mode[:3] == 'fwd' and mode[3:]:
+            mode = 'fwd' if ci >= int(mode[3:]) else False
+        if (mode and jax.default_backend() == 'tpu'
                 and pallas_conv3d.supports_conv3d(x.shape, kernel.shape)):
             conv = {'full': pallas_conv3d.conv3d_pg,
                     'wg': pallas_conv3d.conv3d_wg}.get(
-                        self.use_pallas, pallas_conv3d.conv3d)
+                        mode, pallas_conv3d.conv3d)
             y = conv(x, kernel)
         else:
             y = pallas_conv3d._xla_conv(x, kernel)

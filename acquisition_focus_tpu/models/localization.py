@@ -153,6 +153,9 @@ class ConvNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_s2d: bool = True
     width: int = 32
+    pre_blocked: bool = False   # input already space_to_depth-blocked (callers
+    # hoist the blocking copy out of their remat scope so it is not recomputed
+    # in backward; only valid when the unblocked spatial dims are all even)
 
     @nn.compact
     def __call__(self, x):
@@ -178,8 +181,9 @@ class ConvNet(nn.Module):
             return nn.avg_pool(x, (2, 2, 2), strides=(2, 2, 2))
 
         even = all(s % 2 == 0 for s in x.shape[1:4])
-        if self.use_s2d and even:
-            x = space_to_depth(x)
+        if self.use_s2d and (even or self.pre_blocked):
+            if not self.pre_blocked:
+                x = space_to_depth(x)
             x = block_s2d(x, w1, 'Conv_0')
             x = pool_from_s2d(x, w1)
             x = space_to_depth(x)
@@ -201,9 +205,11 @@ class LocalizationNet(nn.Module):
     output_size: int
     dtype: jnp.dtype = jnp.float32
     width: int = 32
+    pre_blocked: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = ConvNet(dtype=self.dtype, width=self.width)(x)
+        h = ConvNet(dtype=self.dtype, width=self.width,
+                    pre_blocked=self.pre_blocked)(x)
         h = h.reshape(h.shape[0], -1)
         return nn.Dense(self.output_size, dtype=jnp.float32)(h)

@@ -53,9 +53,9 @@ def build_workload(compute_dtype='bfloat16'):
         compute_dtype=compute_dtype,
         atm_remat=os.environ.get('BENCH_ATM_REMAT', '0') == '1',
         unet_remat=os.environ.get('BENCH_UNET_REMAT', '0') == '1',
-        use_pallas_conv3d={'0': False, 'fwd': 'fwd', 'wg': 'wg',
-                           'full': 'full'}[
-            os.environ.get('BENCH_PALLAS_CONV3D', 'fwd')])
+        use_pallas_conv3d={'0': False}.get(
+            os.environ.get('BENCH_PALLAS_CONV3D', 'fwd'),
+            os.environ.get('BENCH_PALLAS_CONV3D', 'fwd')))
 
     unet, atms = make_models(spec)
     unet_params, atm_params = init_params(spec, jax.random.key(0), batch_size=1)

@@ -133,6 +133,8 @@ def main(argv=None):
     p.add_argument('--group', action='store_true')
     p.add_argument('--parse_only', default=None,
                    help='skip running; parse this trace file (or dir)')
+    p.add_argument('--bucket', default=None,
+                   help='restrict the top-ops table to one subsystem bucket')
     a = p.parse_args(argv)
 
     steps = a.steps
@@ -157,6 +159,12 @@ def main(argv=None):
           f'ms/step total device time ({steps} steps)')
 
     ranked = sorted(per_name.items(), key=lambda kv: -kv[1][0])
+    if a.bucket:
+        ranked = [kv for kv in ranked
+                  if bucket_of(kv[0], kv[1][2]) == a.bucket]
+        in_bucket = sum(kv[1][0] for kv in ranked)
+        print(f'bucket {a.bucket}: {in_bucket / 1e3 / steps:.1f} ms/step '
+              f'across {len(ranked)} distinct ops')
     print(f'\n== top {a.top} ops (summed) ==')
     for name, (dur, n, args) in ranked[:a.top]:
         extra = ''

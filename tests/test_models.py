@@ -68,6 +68,21 @@ class TestStackedATMs:
         # same input, different per-view params -> different predictions
         assert np.abs(thetas[0] - thetas[1]).max() > 1e-4
 
+    def test_per_view_loop_matches_vmap_module(self, rng):
+        """apply_stacked_atms (per-view loop + hoisted s2d blocking + remat
+        policy) computes the same thetas as the StackedATMs vmap module."""
+        from acquisition_focus_tpu.models.atm import apply_stacked_atms
+        V, B, S, C = 2, 1, 16, 3
+        model = StackedATMs(n_views=V, prescan_spat=S, locnet_width=4)
+        x = jnp.asarray(rng.normal(size=(V, B, S, S, S, C)), jnp.float32)
+        params = model.init(jax.random.key(2), x)
+        ref = model.apply(params, x)
+        out = apply_stacked_atms(
+            params, x, optim_method='R6-vector', prescan_spat=S,
+            offset_clip_value=0.2, zoom_clip_value=0.0, locnet_width=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
 
 @pytest.mark.slow
 class TestHybridUnet:
