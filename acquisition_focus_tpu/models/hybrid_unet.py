@@ -57,6 +57,7 @@ class Conv3x3x3(nn.Module):
                                  #   MXU occupancy — e.g. 13.5 TF/s at Ci=48 vs
                                  #   30.9 at Ci=96, device trace round 3)
                                  # | 'wg' (Pallas fwd + wgrad, XLA dx)
+                                 # | 'dx' (Pallas fwd + input grad, XLA wgrad)
                                  # | 'full' (Pallas fwd + dx + dw kernels)
 
     @nn.compact
@@ -74,7 +75,8 @@ class Conv3x3x3(nn.Module):
         if (mode and jax.default_backend() == 'tpu'
                 and pallas_conv3d.supports_conv3d(x.shape, kernel.shape)):
             conv = {'full': pallas_conv3d.conv3d_pg,
-                    'wg': pallas_conv3d.conv3d_wg}.get(
+                    'wg': pallas_conv3d.conv3d_wg,
+                    'dx': pallas_conv3d.conv3d_dx}.get(
                         mode, pallas_conv3d.conv3d)
             y = conv(x, kernel)
         else:

@@ -348,3 +348,33 @@ def _conv3d_wg_bwd(res, g):
 
 
 conv3d_wg.defvjp(_conv3d_fwd, _conv3d_wg_bwd)
+
+
+@jax.custom_vjp
+def conv3d_dx(x, w):
+    """3^3 SAME conv: Pallas forward + Pallas INPUT grad, XLA weight grad.
+
+    The last untested cell of the decoder-conv matrix (PERF.md): dx of a
+    stride-1 3^3 SAME conv is itself such a conv (cotangent x flipped
+    IO-swapped kernel), so the multi-row fwd kernel computes it at its
+    standalone speed — while the in-step XLA dx runs in a remat-fusion
+    context at ~13 TF/s (dec0b: 38.8 ms/event incl. fused norm-bwd
+    reductions vs 19.2 ms for the same shape through the Pallas fwd
+    kernel). Unlike the wgrad experiment, dx consumes only the cotangent
+    and weights — not the rematerialized forward input — so hoisting it
+    into a custom call does not force an extra rematerialization pass."""
+    return conv3d_pallas(x, w)
+
+
+def _conv3d_dx_bwd(res, g):
+    x, w = res
+    w_t = jnp.flip(w, (0, 1, 2)).swapaxes(3, 4)
+    if supports_conv3d(g.shape, w_t.shape):
+        dx = conv3d_pallas(g, w_t.astype(g.dtype)).astype(x.dtype)
+    else:
+        dx = jax.linear_transpose(lambda x_: _xla_conv(x_, w), x)(g)[0]
+    dw = jax.linear_transpose(lambda w_: _xla_conv(x, w_), w)(g)[0]
+    return dx, dw
+
+
+conv3d_dx.defvjp(_conv3d_fwd, _conv3d_dx_bwd)

@@ -308,8 +308,8 @@ def nifti_grid_sample_nodiff(volume, nii_affine, target_fov_mm=None,
     Pallas interpret mode on CPU); ``None`` = auto.
     """
     from acquisition_focus_tpu.ops.pallas.volume_resample import (
-        affine_volume_resample_pallas, kernel_scale_fits,
-        supports_affine_volume_resample)
+        BBOX_LARGE, BBOX_SMALL, affine_volume_resample_pallas,
+        kernel_scale_fits, supports_affine_volume_resample)
 
     B, C, D, H, W = volume.shape
     on_tpu = jax.default_backend() == 'tpu' if force_kernel is None \
@@ -346,17 +346,36 @@ def nifti_grid_sample_nodiff(volume, nii_affine, target_fov_mm=None,
         volume = volume.astype(jnp.float32)
     min_value = volume.min()
 
-    def kernel_branch(v):
-        return affine_volume_resample_pallas(
-            v - min_value, grid_affine, target_fov_vox) + min_value
+    def kernel_branch(bbox):
+        def branch(v):
+            return affine_volume_resample_pallas(
+                v - min_value, grid_affine, target_fov_vox, bbox) + min_value
+        return branch
 
     def gather_branch(v):
         return grid_sample(v - min_value, grid_affine, target_fov_vox,
                            mode='trilinear') + min_value
 
-    out = jax.lax.cond(
-        kernel_scale_fits(grid_affine, target_fov_vox, (D, H, W)),
-        kernel_branch, gather_branch, volume)
+    # bbox cascade: the SMALL bbox kernel is ~2.9x cheaper (MXU work and DMA
+    # traffic both scale with the bbox volume) and covers the prescan path's
+    # near-unit scales; LARGE covers scales to ~1.45; anything wider takes the
+    # exact gather. Both fits-checks are tight per-affine bounds, so the
+    # dispatch is exact, never clamping. The nesting keeps each branch's work
+    # inside its cond (only the taken branch executes at runtime).
+    def large_cascade(v):
+        return jax.lax.cond(
+            kernel_scale_fits(grid_affine, target_fov_vox, (D, H, W),
+                              BBOX_LARGE),
+            kernel_branch(BBOX_LARGE), gather_branch, v)
+
+    if supports_affine_volume_resample(
+            (D, H, W), target_fov_vox, C, BBOX_SMALL):
+        out = jax.lax.cond(
+            kernel_scale_fits(grid_affine, target_fov_vox, (D, H, W),
+                              BBOX_SMALL),
+            kernel_branch(BBOX_SMALL), large_cascade, volume)
+    else:
+        out = large_cascade(volume)
     return out.astype(in_dtype), grid_affine, out_nii
 
 

@@ -133,6 +133,22 @@ class TestConv3dWgrad:
         np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
                                    atol=5e-3, rtol=1e-4)
 
+    def test_dx_grads_match_xla(self, rng):
+        """conv3d_dx: Pallas fwd + Pallas input grad, XLA weight grad."""
+        B, D, H, W, Ci, Co = 1, 8, 8, 128, 5, 7
+        x = jnp.asarray(rng.normal(size=(B, D, H, W, Ci)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)) * 0.2, jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(B, D, H, W, Co)), jnp.float32)
+
+        gx_p, gw_p = jax.grad(
+            lambda a, b: (c3.conv3d_dx(a, b) * cot).sum(), (0, 1))(x, w)
+        gx_r, gw_r = jax.grad(
+            lambda a, b: (xla_conv(a, b) * cot).sum(), (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                                   atol=5e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                                   atol=5e-3, rtol=1e-4)
+
     def test_pg_grads_match_xla(self, rng):
         B, D, H, W, Ci, Co = 1, 8, 8, 128, 5, 7
         x = jnp.asarray(rng.normal(size=(B, D, H, W, Ci)), jnp.float32)

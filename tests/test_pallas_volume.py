@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import acquisition_focus_tpu.ops.pallas.volume_resample as vr
 from acquisition_focus_tpu.ops.resample import grid_sample
 
-# smallest supported source volume: (D, H, W) >= (BZ, BY, BX) = (20, 32, 48)
+# smallest source volume supporting BBOX_LARGE = (20, 32, 48) (and a fortiori
+# BBOX_SMALL), so both cascade stages are exercised
 DHW = (24, 32, 48)
 OUT = (24, 32, 48)
 
@@ -32,6 +33,21 @@ def rotation_theta(rng, scale=1.0, offset=0.15):
         q[:, 0] *= -1
     t = np.eye(4)
     t[:3, :3] = q * scale
+    t[:3, 3] = rng.uniform(-offset, offset, 3)
+    return t
+
+
+def small_rotation_theta(rng, max_deg=15.0, scale=1.0, offset=0.1):
+    """Rodrigues rotation by a bounded angle — the prescan-path regime."""
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    ang = np.deg2rad(rng.uniform(0.3, 1.0) * max_deg)
+    k = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    r = np.eye(3) + np.sin(ang) * k + (1 - np.cos(ang)) * (k @ k)
+    t = np.eye(4)
+    t[:3, :3] = r * scale
     t[:3, 3] = rng.uniform(-offset, offset, 3)
     return t
 
@@ -96,6 +112,39 @@ class TestAffineVolumeResamplePallas:
         ref = grid_sample(vol, theta, out_dhw, mode='trilinear')
         out = vr.affine_volume_resample_pallas(vol, theta, out_dhw)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_small_bbox_parity(self, rng):
+        """The BBOX_SMALL variant (2.9x cheaper) is exact on the affines its
+        scale guard admits — the prescan path's near-unit scales and small
+        rotations."""
+        B, C = 1, 4
+        vol = jnp.asarray(rng.normal(size=(B, C) + DHW), jnp.float32)
+        theta = jnp.asarray(
+            small_rotation_theta(rng, max_deg=20.0, scale=1.05)[None],
+            jnp.float32)
+        assert bool(vr.kernel_scale_fits(theta, OUT, DHW, vr.BBOX_SMALL))
+        ref = grid_sample(vol, theta, OUT, mode='trilinear')
+        out = vr.affine_volume_resample_pallas(vol, theta, OUT, vr.BBOX_SMALL)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_bbox_guard_ordering(self, rng):
+        """Guard monotonicity the cascade depends on: small-fits => large-fits;
+        a scale beyond the small bound still fits large."""
+        mild = jnp.asarray(
+            small_rotation_theta(rng, max_deg=10.0, scale=1.0)[None],
+            jnp.float32)
+        assert bool(vr.kernel_scale_fits(mild, OUT, DHW, vr.BBOX_SMALL))
+        assert bool(vr.kernel_scale_fits(mild, OUT, DHW, vr.BBOX_LARGE))
+        # 45 deg about x at scale 1.35: row L1 = 1.414 * 1.35 => tile extent
+        # 7 * 1.909 = 13.4 — beyond the small z bound (11), inside the large
+        # bounds (z 17, y 22, x 30)
+        wide = np.eye(4)
+        c = s = np.sqrt(0.5) * 1.35
+        wide[1, 1], wide[1, 2], wide[2, 1], wide[2, 2] = c, -s, s, c
+        wide[0, 0] = 1.35
+        wide = jnp.asarray(wide[None], jnp.float32)
+        assert not bool(vr.kernel_scale_fits(wide, OUT, DHW, vr.BBOX_SMALL))
+        assert bool(vr.kernel_scale_fits(wide, OUT, DHW, vr.BBOX_LARGE))
 
     def test_supports_guard(self):
         assert vr.supports_affine_volume_resample((128, 128, 128), (128,) * 3, 6)
