@@ -63,8 +63,14 @@ def _tile_dims(S, bwd=False):
     Backward stays at cubic 8^3: (16,8,8) was tried and REGRESSED the train
     step 2.81 -> 3.01 s — elongated tiles intersect the re-embedded plane more
     often, and the lost slab skipping outweighs the halved per-invocation
-    overhead."""
+    overhead. AF_PLANE_BWD_TILE=td,th,tw overrides at trace time for
+    experiments (see PERF.md for per-shape step-time measurements)."""
     if bwd:
+        import os
+        override = os.environ.get('AF_PLANE_BWD_TILE')
+        if override:
+            td, th, tw = (int(v) for v in override.split(','))
+            return min(td, S), min(th, S), min(tw, S)
         return min(8, S), min(8, S), min(8, S)
     return min(16, S), min(16, S), min(8, S)
 
@@ -220,7 +226,8 @@ def _fwd_kernel(coef_ref, slice_ref, out_ref, *, S, dims, tiles_per_axis, C,
 
         c_lo, c_hi = _chunk_band(iy_r, plane_w, S, YC)
         out_ref[0] = jax.lax.fori_loop(
-            c_lo, c_hi + 1, chunk, jnp.zeros((C, P), jnp.float32))
+            c_lo, c_hi + 1, chunk,
+            jnp.zeros((C, P), jnp.float32)).astype(out_ref.dtype)
 
 
 def _bwd_kernel(coef_ref, slice_ref, g_ref, dslice_ref, dcoef_ref,
@@ -327,10 +334,15 @@ def _forward_impl(slices, theta, out_spat, fast):
     slice_rows = jnp.transpose(slices, (0, 2, 3, 1)).reshape(B, S, S * C)
     slice_rows = slice_rows.astype(jnp.float32)
 
+    # fast path: emit the consumer's dtype straight from the kernel so the
+    # un-tiling transpose moves bf16, not f32 — bit-identical to transposing
+    # f32 then casting (the transpose is value-preserving), half the HBM
+    # traffic on the hot level-0 copies.
+    out_dtype = slices.dtype if fast else jnp.float32
     out = pl.pallas_call(
         partial(_fwd_kernel, S=S, dims=dims, tiles_per_axis=tiles_per_axis,
                 C=C, fast=fast),
-        out_shape=jax.ShapeDtypeStruct((B, C, out_spat ** 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, out_spat ** 3), out_dtype),
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 3, 4), lambda b, i: (b, 0, 0),
@@ -371,7 +383,11 @@ def _bwd_rule(out_spat, fast, residuals, g):
     coefs = _coeffs_from_theta(theta, out_spat, S)
     slice_rows = jnp.transpose(slices, (0, 2, 3, 1)).reshape(B, S, S * C)
     slice_rows = slice_rows.astype(jnp.float32)
-    g_flat = _tile(g.astype(jnp.float32), B, C, out_spat, dims, tiles_per_axis)
+    # fast path: keep the cotangent in its native (bf16) dtype through the
+    # tiling transpose and the kernel DMA — _dot casts operands to bf16
+    # in-kernel anyway, so the values are identical and the traffic halves.
+    g_flat = _tile(g if fast else g.astype(jnp.float32),
+                   B, C, out_spat, dims, tiles_per_axis)
 
     dslice_rows, dcoefs = pl.pallas_call(
         partial(_bwd_kernel, S=S, dims=dims, tiles_per_axis=tiles_per_axis,

@@ -166,7 +166,7 @@ def parse_json_line(text):
     return None
 
 
-def orchestrate(attempts, worker_timeout, backoffs):
+def orchestrate(attempts, worker_timeout, backoffs, record=True):
     for i in range(attempts):
         try:
             proc = subprocess.run(
@@ -176,7 +176,8 @@ def orchestrate(attempts, worker_timeout, backoffs):
             rec = parse_json_line(proc.stdout) if proc.returncode == 0 else None
             if rec is not None:
                 rec['stale'] = False
-                LASTGOOD.write_text(json.dumps(rec, indent=2))
+                if record:
+                    LASTGOOD.write_text(json.dumps(rec, indent=2))
                 print(json.dumps(rec))
                 return 0
             err = (proc.stderr or proc.stdout or '').strip().splitlines()
@@ -213,11 +214,16 @@ def main(argv=None):
     # ample, and 3 attempts + backoffs bound a dead-backend run to ~75 min
     p.add_argument('--attempts', type=int, default=3)
     p.add_argument('--worker_timeout', type=int, default=1200)
+    p.add_argument('--no-record', action='store_true',
+                   help='experiment run: print the measurement but do not '
+                        'overwrite BENCH_LASTGOOD.json (the default-config '
+                        'record the driver and stale-fallback rely on)')
     a = p.parse_args(argv)
     if a.worker:
         worker_main()
         return 0
-    return orchestrate(a.attempts, a.worker_timeout, backoffs=(300, 600))
+    return orchestrate(a.attempts, a.worker_timeout, backoffs=(300, 600),
+                       record=not a.no_record)
 
 
 if __name__ == '__main__':
