@@ -69,8 +69,19 @@ def _tile_dims(S, bwd=False):
         import os
         override = os.environ.get('AF_PLANE_BWD_TILE')
         if override:
-            td, th, tw = (int(v) for v in override.split(','))
-            return min(td, S), min(th, S), min(tw, S)
+            parts = override.split(',')
+            if len(parts) != 3 or not all(p.strip().lstrip('-').isdigit()
+                                          for p in parts):
+                raise ValueError(
+                    f"AF_PLANE_BWD_TILE={override!r}: expected three "
+                    "comma-separated positive ints 'td,th,tw'")
+            dims = tuple(min(int(p), S) for p in parts)
+            if any(t <= 0 or S % t for t in dims):
+                raise ValueError(
+                    f"AF_PLANE_BWD_TILE={override!r}: each tile dim (after "
+                    f"clamping to S={S}) must be positive and divide S; "
+                    f"got {dims}")
+            return dims
         return min(8, S), min(8, S), min(8, S)
     return min(16, S), min(16, S), min(8, S)
 

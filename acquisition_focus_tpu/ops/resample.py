@@ -314,10 +314,15 @@ def nifti_grid_sample_nodiff(volume, nii_affine, target_fov_mm=None,
     B, C, D, H, W = volume.shape
     on_tpu = jax.default_backend() == 'tpu' if force_kernel is None \
         else bool(force_kernel)
+    # gate on the SMALL bbox: its input-size requirement is the weakest
+    # (LARGE-support implies SMALL-support, not vice versa), so volumes that
+    # only fit the small kernel still reach the Pallas path; the cascade below
+    # re-checks LARGE statically before offering it as a branch
     use_kernel = (not is_label and on_tpu
                   and target_fov_vox is not None
                   and supports_affine_volume_resample(
-                      (D, H, W), tuple(int(v) for v in target_fov_vox), C))
+                      (D, H, W), tuple(int(v) for v in target_fov_vox), C,
+                      BBOX_SMALL))
     if not use_kernel:
         return nifti_grid_sample(volume, nii_affine, target_fov_mm,
                                  target_fov_vox, is_label,
@@ -362,20 +367,21 @@ def nifti_grid_sample_nodiff(volume, nii_affine, target_fov_mm=None,
     # exact gather. Both fits-checks are tight per-affine bounds, so the
     # dispatch is exact, never clamping. The nesting keeps each branch's work
     # inside its cond (only the taken branch executes at runtime).
-    def large_cascade(v):
-        return jax.lax.cond(
-            kernel_scale_fits(grid_affine, target_fov_vox, (D, H, W),
-                              BBOX_LARGE),
-            kernel_branch(BBOX_LARGE), gather_branch, v)
-
     if supports_affine_volume_resample(
-            (D, H, W), target_fov_vox, C, BBOX_SMALL):
-        out = jax.lax.cond(
-            kernel_scale_fits(grid_affine, target_fov_vox, (D, H, W),
-                              BBOX_SMALL),
-            kernel_branch(BBOX_SMALL), large_cascade, volume)
+            (D, H, W), target_fov_vox, C, BBOX_LARGE):
+        def large_cascade(v):
+            return jax.lax.cond(
+                kernel_scale_fits(grid_affine, target_fov_vox, (D, H, W),
+                                  BBOX_LARGE),
+                kernel_branch(BBOX_LARGE), gather_branch, v)
     else:
-        out = large_cascade(volume)
+        # input too small for the LARGE bbox DMA: the cascade tail is the
+        # exact gather directly
+        large_cascade = gather_branch
+
+    out = jax.lax.cond(
+        kernel_scale_fits(grid_affine, target_fov_vox, (D, H, W), BBOX_SMALL),
+        kernel_branch(BBOX_SMALL), large_cascade, volume)
     return out.astype(in_dtype), grid_affine, out_nii
 
 

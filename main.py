@@ -48,17 +48,80 @@ def build_fold_iter(config, training_dataset):
     return fold_iter
 
 
+def _load_sweep_state(path):
+    p = Path(path)
+    if p.exists():
+        return json.loads(p.read_text())
+    return {'completed': {}, 'in_progress': None}
+
+
+def _save_sweep_state(path, state):
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(state, indent=2))
+
+
 def stage_sweep_run(base_dir, run_name, config, fold_properties, stages,
                     training_dataset, test_dataset, run_test_once_only):
+    """Per-fold stage sweep (reference main_acquisition_focus.py:77-99).
+
+    With ``sweep_state_path`` set, the sweep is crash-resumable at stage
+    granularity: completed stages are recorded (with their best ``save_path``
+    so checkpoint chaining survives a relaunch) and skipped on re-run; a stage
+    that was interrupted mid-training is resumed from its own best checkpoint
+    via the runner's full-state restore instead of restarting at epoch 0.
+    """
+    state_path = config.get('sweep_state_path')
+    fold_key = f"fold-{fold_properties[0]}"
+    state = _load_sweep_state(state_path) if state_path else None
+
     for stage in stages:
         stage_id = stages.current_key
+        stage_key = f"{fold_key}/{stage_id}"
+
+        if state is not None and stage_key in state['completed']:
+            # stage already ran to completion in a previous launch: hand its
+            # recorded best save forward so chaining into the next stage works
+            rec = state['completed'][stage_key]
+            if rec.get('save_path'):
+                stage['save_path'] = rec['save_path']
+            stage.activate()
+            print(f"Skipping completed stage {stage_key} "
+                  f"(save_path={rec.get('save_path')})")
+            continue
+
         stage.activate()
         stage_config = merge_stage_config(DotDict(config.copy()), stage)
         stage_run_name = f"{run_name}_stage-{stage_id}"
+
+        if state is not None:
+            prog = state.get('in_progress')
+            if prog and prog.get('stage_key') == stage_key:
+                # interrupted mid-stage: resume from that launch's best save
+                prev_best = Path(base_dir) / config['mdl_save_prefix'] / \
+                    f"{prog['run_name']}_best"
+                from acquisition_focus_tpu.engine.checkpoint import \
+                    checkpoint_exists
+                if checkpoint_exists(str(prev_best)):
+                    stage_config['model_checkpoint_path'] = str(prev_best)
+                    stage_run_name = prog['run_name']  # keep one metric stream
+                    print(f"Resuming interrupted stage {stage_key} "
+                          f"from {prev_best}")
+            state['in_progress'] = {'stage_key': stage_key,
+                                    'run_name': stage_run_name}
+            _save_sweep_state(state_path, state)
+
         print(f"Running {stage_run_name}")
         run_dl(base_dir, stage_config, fold_properties, stage=stage,
                training_dataset=training_dataset, test_dataset=test_dataset,
                run_test_once_only=run_test_once_only, run_name=stage_run_name)
+
+        if state is not None:
+            state['completed'][stage_key] = {
+                'save_path': stage.get('save_path'),
+                'run_name': stage_run_name}
+            state['in_progress'] = None
+            _save_sweep_state(state_path, state)
 
 
 def _enable_compile_cache():

