@@ -72,6 +72,10 @@ class StageSpec:
     # Pallas direct conv (ops/pallas/conv3d.py). False | True/'fwd' (Pallas
     # forward, XLA gradients) | 'full' (Pallas fwd + dx + wgrad kernels).
     use_pallas_conv3d: object = False
+    # checkpoint_name marks the decoder remat policy saves; ('conv_out',
+    # 'conv_in') additionally stores each conv's input so XLA wgrad reads a
+    # saved activation instead of a recompute-fusion product (perf experiment)
+    decoder_save_names: Tuple[str, ...] = ('conv_out',)
     # model width plan (reference widths by default). The multi-chip dryrun uses
     # skinny widths: identical program/sharding structure, ~50x fewer FLOPs.
     base_features: Tuple[int, ...] = (16, 32, 64, 128, 256, 256)
@@ -102,7 +106,8 @@ def make_models(spec: StageSpec):
         recon = HybridUnet(n_views=spec.n_views, num_classes=spec.num_classes,
                            base_features=tuple(spec.base_features),
                            dtype=spec.dtype, remat_skips=spec.unet_remat,
-                           use_pallas_conv=spec.use_pallas_conv3d)
+                           use_pallas_conv=spec.use_pallas_conv3d,
+                           decoder_save_names=tuple(spec.decoder_save_names))
     unet = recon
     atms = StackedATMs(
         n_views=spec.n_views, optim_method=spec.optim_method,

@@ -70,8 +70,16 @@ class Conv3x3x3(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         mode = self.use_pallas
-        if isinstance(mode, str) and mode[:3] == 'fwd' and mode[3:]:
+        if isinstance(mode, str) and mode[:3] == 'fwd' and mode[3:].isdigit():
             mode = 'fwd' if ci >= int(mode[3:]) else False
+        if mode not in (False, True, 'fwd', 'wg', 'dx', 'full'):
+            # a typo ('wgrad', 'ful', 'fwdx', ...) must fail loudly, not
+            # silently bench the default fwd kernel while being recorded as
+            # the requested experiment
+            raise ValueError(
+                f"unknown use_pallas mode {self.use_pallas!r}: expected one of "
+                "False, True, 'fwd', 'fwdN' (N = min channel count), 'wg', "
+                "'dx', 'full'")
         if (mode and jax.default_backend() == 'tpu'
                 and pallas_conv3d.supports_conv3d(x.shape, kernel.shape)):
             conv = {'full': pallas_conv3d.conv3d_pg,
@@ -85,8 +93,13 @@ class Conv3x3x3(nn.Module):
 
 
 def _conv_block_3d(x, features, dtype, name_prefix, use_pallas_conv=False):
-    # 'conv_out' marks the bf16 conv results for the decoder's policy-based remat
-    # (save these, recompute norm/activation in backward — see HybridUnet)
+    # 'conv_in'/'conv_out' mark the bf16 conv operands/results for the decoder's
+    # policy-based remat (see HybridUnet.decoder_save_names). The default policy
+    # saves only 'conv_out'; adding 'conv_in' also saves each conv's input so
+    # XLA's wgrad consumes a stored activation instead of recomputing the
+    # norm/leaky chain inside its backward fusion (~+1.2 GB at 128^3 reference
+    # widths) — a measured experiment, not the default.
+    x = checkpoint_name(x, 'conv_in')
     x = Conv3x3x3(features, dtype=dtype, use_pallas=use_pallas_conv,
                   name=f'{name_prefix}_conv')(x)
     x = checkpoint_name(x, 'conv_out')
@@ -159,6 +172,9 @@ class HybridUnet(nn.Module):
     remat_skips: bool = True
     use_pallas: bool = True
     use_pallas_conv: bool = False
+    # which checkpoint_name-marked activations the decoder remat policy saves
+    # (ignored when remat_skips=True, which recomputes everything)
+    decoder_save_names: Sequence[str] = ('conv_out',)
 
     @nn.compact
     def __call__(self, x, grid_affines):
@@ -195,7 +211,8 @@ class HybridUnet(nn.Module):
         else:
             stage_cls = nn.remat(
                 DecoderStage,
-                policy=jax.checkpoint_policies.save_only_these_names('conv_out'))
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    *self.decoder_save_names))
         y = skips3d[-1]
         for s in range(n_stages - 2, -1, -1):
             y = stage_cls(feats[s], self.dtype, self.use_pallas_conv,

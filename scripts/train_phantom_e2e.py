@@ -30,7 +30,8 @@ from acquisition_focus_tpu.data.synthetic import write_phantom_dataset  # noqa: 
 
 def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         data_dir=None, out_dir=None, compute_dtype="bfloat16", fov_mult=1.5,
-        base_features=None, locnet_width=None):
+        base_features=None, locnet_width=None, model_type=None,
+        single_stage=False):
     """fov_mult: mm per output voxel. 1.5 at spat=128 is the reference geometry
     (192 mm FOV); a reduced-resolution run (e.g. the spat=32 CPU fallback when
     the TPU backend is down) needs a larger multiplier so the ~110 mm phantom
@@ -61,11 +62,23 @@ def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         log_dir=str(run_root / "runs"), mdl_save_prefix=str(run_root / "models"),
         metrics_every=5, save_every="best", do_output=True,
         use_caching=True,
+        # crash-resumable sweep: completed stages are skipped on relaunch,
+        # an interrupted stage resumes from its best checkpoint (main.py)
+        sweep_state_path=str(run_root / "sweep_state.json"),
     )
     if base_features is not None:
         cfg["base_features"] = list(base_features)
     if locnet_width is not None:
         cfg["locnet_width"] = int(locnet_width)
+    if model_type is not None:
+        cfg["model_type"] = model_type
+    if single_stage:
+        # one plain fixed-view training run (no stage sweep): the related-works
+        # comparison protocol — train the reconstruction model at the clinical
+        # init views for the full budget (reference run_dl.py:361-364 dispatch)
+        cfg["sweep_type"] = None
+        cfg["view_optimization_mode"] = "opt-none"
+        cfg["use_affine_theta"] = False
     cfg_path = run_root / "config.json"
     cfg_path.write_text(json.dumps(cfg))
 
@@ -87,9 +100,11 @@ def collect_artifacts(run_root, out_dir, wall_s=None):
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     run_dirs = sorted((Path(run_root) / "runs").glob("*_stage-*"))
+    if not run_dirs:  # single-stage (no sweep) run: one unsuffixed run dir
+        run_dirs = sorted((Path(run_root) / "runs").glob("*_fold-*"))
     stages = {}
     for rd in run_dirs:
-        stage = rd.name.split("_stage-")[-1]
+        stage = rd.name.split("_stage-")[-1] if "_stage-" in rd.name else "main"
         if (rd / "metrics.jsonl").exists():
             stages[stage] = _read_jsonl(rd / "metrics.jsonl")
             shutil.copy(rd / "metrics.jsonl", out_dir / f"metrics_stage-{stage}.jsonl")
@@ -249,6 +264,11 @@ if __name__ == "__main__":
                         "opt_view* stages must recover informative ones)")
     p.add_argument("--base_features", type=int, nargs="*", default=None)
     p.add_argument("--locnet_width", type=int, default=None)
+    p.add_argument("--model_type", default=None,
+                   help="hybrid-unet (default) | hybrid-EPix2Vox | hybrid-Pix2Vox")
+    p.add_argument("--single_stage", action="store_true",
+                   help="skip the stage sweep: one fixed-view training run "
+                        "(related-works comparison protocol)")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (TPU-backend-down fallback)")
@@ -267,4 +287,5 @@ if __name__ == "__main__":
             n_cases=a.n_cases, base_features=a.base_features or None,
             locnet_width=a.locnet_width,
             views=tuple(a.views) if a.views else ("p2CH", "p4CH", "SA-7"),
-            compute_dtype=a.compute_dtype, data_dir=a.data_dir, out_dir=a.out_dir)
+            compute_dtype=a.compute_dtype, data_dir=a.data_dir, out_dir=a.out_dir,
+            model_type=a.model_type, single_stage=a.single_stage)
