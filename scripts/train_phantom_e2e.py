@@ -31,7 +31,7 @@ from acquisition_focus_tpu.data.synthetic import write_phantom_dataset  # noqa: 
 def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         data_dir=None, out_dir=None, compute_dtype="bfloat16", fov_mult=1.5,
         base_features=None, locnet_width=None, model_type=None,
-        single_stage=False):
+        single_stage=False, all_folds=False):
     """fov_mult: mm per output voxel. 1.5 at spat=128 is the reference geometry
     (192 mm FOV); a reduced-resolution run (e.g. the spat=32 CPU fallback when
     the TPU backend is down) needs a larger multiplier so the ~110 mm phantom
@@ -72,6 +72,10 @@ def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         cfg["locnet_width"] = int(locnet_width)
     if model_type is not None:
         cfg["model_type"] = model_type
+    if all_folds:
+        # full 3-fold cross-validation (reference main_acquisition_focus.py:143-176):
+        # main.py iterates every fold, metric streams are fold-postfixed
+        cfg["fold_override"] = None
     if single_stage:
         # one plain fixed-view training run (no stage sweep): the related-works
         # comparison protocol — train the reconstruction model at the clinical
@@ -103,8 +107,12 @@ def collect_artifacts(run_root, out_dir, wall_s=None):
     if not run_dirs:  # single-stage (no sweep) run: one unsuffixed run dir
         run_dirs = sorted((Path(run_root) / "runs").glob("*_fold-*"))
     stages = {}
+    multifold = len({rd.name.split("_fold-")[-1].split("_")[0]
+                     for rd in run_dirs if "_fold-" in rd.name}) > 1
     for rd in run_dirs:
         stage = rd.name.split("_stage-")[-1] if "_stage-" in rd.name else "main"
+        if multifold:  # 3-fold CV: key per (fold, stage) so streams don't collide
+            stage = f"fold{rd.name.split('_fold-')[-1].split('_')[0]}-{stage}"
         if (rd / "metrics.jsonl").exists():
             stages[stage] = _read_jsonl(rd / "metrics.jsonl")
             shutil.copy(rd / "metrics.jsonl", out_dir / f"metrics_stage-{stage}.jsonl")
@@ -269,6 +277,8 @@ if __name__ == "__main__":
     p.add_argument("--single_stage", action="store_true",
                    help="skip the stage sweep: one fixed-view training run "
                         "(related-works comparison protocol)")
+    p.add_argument("--all_folds", action="store_true",
+                   help="run the full 3-fold CV instead of fold 0 only")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (TPU-backend-down fallback)")
@@ -288,4 +298,5 @@ if __name__ == "__main__":
             locnet_width=a.locnet_width,
             views=tuple(a.views) if a.views else ("p2CH", "p4CH", "SA-7"),
             compute_dtype=a.compute_dtype, data_dir=a.data_dir, out_dir=a.out_dir,
-            model_type=a.model_type, single_stage=a.single_stage)
+            model_type=a.model_type, single_stage=a.single_stage,
+            all_folds=a.all_folds)
