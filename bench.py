@@ -69,7 +69,11 @@ def build_workload(compute_dtype='bfloat16'):
     spec = StageSpec(
         n_views=3, num_classes=6, n_active_views=3,
         view_optimization_mode='opt-all', use_affine_theta=True,
-        augment_input=True, num_grad_accum_steps=2,
+        augment_input=True,
+        # BENCH_ACCUM/BENCH_BATCH reshape the microbatching at constant
+        # slices/step (accum x B = 4 default): accum 1 x B 4 runs one wider
+        # fwd+bwd instead of two sequential scan passes
+        num_grad_accum_steps=int(os.environ.get('BENCH_ACCUM', '2')),
         compute_dtype=compute_dtype,
         atm_remat=os.environ.get('BENCH_ATM_REMAT', '0') == '1',
         unet_remat=os.environ.get('BENCH_UNET_REMAT', '0') == '1',
@@ -87,7 +91,8 @@ def build_workload(compute_dtype='bfloat16'):
     recon_state = recon_opt.init(unet_params)
     trans_state = trans_opt.init(atm_params)
 
-    B, accum, S = 2, spec.num_grad_accum_steps, 128
+    B, accum, S = int(os.environ.get('BENCH_BATCH', '2')), \
+        spec.num_grad_accum_steps, 128
     rng = np.random.default_rng(0)
     batch = {
         'label': rng.integers(0, 6, size=(accum, B, S, S, S)).astype(np.int32),
