@@ -225,6 +225,24 @@ class BaseDataset:
                 print(f"  {fid} prescan dice="
                       f"{case['prescan_quality']['dice_mean']:.3f} hd95="
                       f"{case['prescan_quality']['hd95_mean']:.2f}mm")
+                # enforced build-time quality gate (reference logs these at
+                # base_dataset.py:287-298; its nnU-Net oracle lands at ~0.805
+                # Dice on MMWHS — get_run_data.ipynb cell 11). A prescan whose
+                # segmentation is this wrong would silently poison every
+                # downstream view plane, so fail the build loudly instead.
+                q = case['prescan_quality']
+                min_dice = cfg.get('min_prescan_dice', 0.5)
+                max_hd95 = cfg.get('max_prescan_hd95_mm', 12.0)
+                if (q['dice_mean'] < min_dice
+                        or (np.isfinite(q['hd95_mean'])
+                            and q['hd95_mean'] > max_hd95)):
+                    raise RuntimeError(
+                        f"{fid}: segmented prescan quality below the build "
+                        f"gate (dice {q['dice_mean']:.3f} < {min_dice} or "
+                        f"hd95 {q['hd95_mean']:.2f}mm > {max_hd95}mm) — "
+                        "train the segmenter longer (scripts/"
+                        "train_segmenter.py) or lower min_prescan_dice/"
+                        "max_prescan_hd95_mm explicitly")
             else:
                 case['prescan_label'] = case['prescan_gt']
                 prescan_views = get_clinical_cardiac_view_affines(

@@ -90,6 +90,11 @@ DEFAULTS = DotDict(
     log_dir="data/runs",
     debug_nans=False,                # jax_debug_nans anomaly detection
     segment_model_path=None,         # orbax ckpt for from-segmented modes
+    min_prescan_dice=0.5,            # from-segmented build gates: abort when the
+    max_prescan_hd95_mm=12.0,        # segmented prescan vs GT is worse than this
+                                     # (reference oracle lands at ~0.805 Dice;
+                                     # the phantom floor is lower because its
+                                     # segmenter trains for minutes, not hours)
     segment_extra_permute=True,      # MMWHS output transpose (reference nnU-Net
                                      # axis workaround); False for in-framework ckpts
     centroid_ref_path=None,          # canonical heart label NIfTI (phantom default)
