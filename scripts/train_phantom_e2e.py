@@ -31,7 +31,7 @@ from acquisition_focus_tpu.data.synthetic import write_phantom_dataset  # noqa: 
 def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         data_dir=None, out_dir=None, compute_dtype="bfloat16", fov_mult=1.5,
         base_features=None, locnet_width=None, model_type=None,
-        single_stage=False, all_folds=False):
+        single_stage=False, all_folds=False, binarized=False):
     """fov_mult: mm per output voxel. 1.5 at spat=128 is the reference geometry
     (192 mm FOV); a reduced-resolution run (e.g. the spat=32 CPU fallback when
     the TPU backend is down) needs a larger multiplier so the ~110 mm phantom
@@ -72,6 +72,12 @@ def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         cfg["locnet_width"] = int(locnet_width)
     if model_type is not None:
         cfg["model_type"] = model_type
+        if model_type != 'hybrid-unet':
+            # the (E)Pix2Vox baselines emit bg/fg occupancy; the reference runs
+            # them only with binarized labels (meta_configs id20-28)
+            binarized = True
+    if binarized:
+        cfg["use_binarized_labels"] = True
     if all_folds:
         # full 3-fold cross-validation (reference main_acquisition_focus.py:143-176):
         # main.py iterates every fold, metric streams are fold-postfixed
@@ -279,6 +285,8 @@ if __name__ == "__main__":
                         "(related-works comparison protocol)")
     p.add_argument("--all_folds", action="store_true",
                    help="run the full 3-fold CV instead of fold 0 only")
+    p.add_argument("--binarized", action="store_true",
+                   help="use_binarized_labels (forced on for (E)Pix2Vox)")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (TPU-backend-down fallback)")
@@ -299,4 +307,4 @@ if __name__ == "__main__":
             views=tuple(a.views) if a.views else ("p2CH", "p4CH", "SA-7"),
             compute_dtype=a.compute_dtype, data_dir=a.data_dir, out_dir=a.out_dir,
             model_type=a.model_type, single_stage=a.single_stage,
-            all_folds=a.all_folds)
+            all_folds=a.all_folds, binarized=a.binarized)
