@@ -230,7 +230,10 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
             prescan_spat=spec.prescan_fov_vox[0],
             offset_clip_value=spec.offset_clip_value,
             zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype,
-            remat=spec.atm_remat, locnet_width=spec.locnet_width)
+            remat=spec.atm_remat, locnet_width=spec.locnet_width,
+            # structural per-view stop_gradient: frozen views' locnet backward
+            # is never traced (the where-mask below only zeroes it at runtime)
+            train_mask=spec.view_train_mask())
     else:
         thetas = jnp.broadcast_to(jnp.eye(4), (A, B, 4, 4)).astype(jnp.float32)
 

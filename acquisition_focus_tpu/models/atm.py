@@ -146,7 +146,7 @@ class StackedATMs(nn.Module):
 
 def apply_stacked_atms(stacked_params, x_prescans, *, optim_method, prescan_spat,
                        offset_clip_value, zoom_clip_value, dtype=jnp.float32,
-                       remat=False, locnet_width=32):
+                       remat=False, locnet_width=32, train_mask=None):
     """Apply StackedATMs params with a per-view Python loop instead of nn.vmap.
 
     XLA lowers the vmapped per-view conv stack to feature-group convolutions, which
@@ -160,6 +160,18 @@ def apply_stacked_atms(stacked_params, x_prescans, *, optim_method, prescan_spat
     no conv recompute, and the f32 norm intermediates (which OOM the chip if saved:
     21GB measured at the default workload) never persist. remat=True recomputes
     the full chain (max memory savings, one extra conv forward per view).
+
+    Frozen views: ``train_mask`` (static bool sequence, one per view) marks which
+    views' localization nets receive gradients this stage. Unmasked ("frozen")
+    views run under ``stop_gradient`` on both params and output, so NO backward
+    chain is traced for them at all. This matters because the runner's
+    per-view gradient mask (train.py ``view_train_mask``) only zeroes cotangents
+    at runtime — the XLA trace still contains every frozen view's full locnet
+    backward (device trace: one 512->512 wgrad per view, trainable or not). In
+    'opt-current-fix-previous' stages (the reference's standard sweep mode,
+    run_dl.py:284-289) all but ONE view are frozen, so structural elimination
+    removes (V-1)/V of the locnet backward. Values and gradients are identical:
+    frozen views' grads were exact zeros before; now they are never computed.
 
     Args: stacked_params as produced by StackedATMs.init; x_prescans (V, B, D, H, W, C).
     Returns: (V, B, 4, 4).
@@ -199,5 +211,10 @@ def apply_stacked_atms(stacked_params, x_prescans, *, optim_method, prescan_spat
     thetas = []
     for v in range(V):
         view_params = jax.tree_util.tree_map(lambda p: p[v], inner)
-        thetas.append(run_view(view_params, x_prescans[v]))
+        if train_mask is not None and not bool(train_mask[v]):
+            theta = jax.lax.stop_gradient(run_view(
+                jax.lax.stop_gradient(view_params), x_prescans[v]))
+        else:
+            theta = run_view(view_params, x_prescans[v])
+        thetas.append(theta)
     return jnp.stack(thetas)

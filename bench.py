@@ -66,9 +66,16 @@ def build_workload(compute_dtype='bfloat16'):
     from acquisition_focus_tpu.engine.train import (
         StageSpec, init_params, make_models, train_step)
 
+    opt_mode = os.environ.get('BENCH_OPT_MODE', 'opt-all')
+    if opt_mode not in ('opt-all', 'opt-current-fix-previous', 'opt-none'):
+        raise SystemExit(f"BENCH_OPT_MODE={opt_mode!r} is not a known mode")
     spec = StageSpec(
         n_views=3, num_classes=6, n_active_views=3,
-        view_optimization_mode='opt-all', use_affine_theta=True,
+        # default 'opt-all' (every locnet trained) for continuity with the
+        # BENCH_BASELINE series; BENCH_OPT_MODE=opt-current-fix-previous
+        # measures the standard stage-sweep step, where frozen views' locnet
+        # backward is structurally pruned (models/atm.py train_mask)
+        view_optimization_mode=opt_mode, use_affine_theta=True,
         augment_input=True,
         # BENCH_ACCUM/BENCH_BATCH reshape the microbatching at constant
         # slices/step (accum x B = 4 default): accum 1 x B 4 runs one wider

@@ -83,6 +83,45 @@ class TestStackedATMs:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
 
+    def test_train_mask_structurally_prunes_frozen_backward(self, rng):
+        """train_mask=[F,F,T]: (a) thetas identical to the unmasked apply,
+        (b) grads of frozen views' params are exact zeros, (c) the traced
+        gradient computation contains FEWER conv ops than without the mask —
+        the frozen views' locnet backward is pruned at trace level, not merely
+        zeroed at runtime (the perf point of the mask)."""
+        from acquisition_focus_tpu.models.atm import apply_stacked_atms
+        V, B, S, C = 3, 1, 16, 3
+        model = StackedATMs(n_views=V, prescan_spat=S, locnet_width=4)
+        x = jnp.asarray(rng.normal(size=(V, B, S, S, S, C)), jnp.float32)
+        params = model.init(jax.random.key(3), x)
+        kw = dict(optim_method='R6-vector', prescan_spat=S,
+                  offset_clip_value=0.2, zoom_clip_value=0.0, locnet_width=4)
+        mask = np.array([False, False, True])
+
+        out_masked = apply_stacked_atms(params, x, train_mask=mask, **kw)
+        out_plain = apply_stacked_atms(params, x, **kw)
+        np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_plain),
+                                   atol=0, rtol=0)
+
+        def loss(p, m):
+            return (apply_stacked_atms(p, x, train_mask=m, **kw) ** 2).sum()
+
+        grads = jax.grad(loss)(params, mask)
+        live = 0.0
+        for leaf in jax.tree_util.tree_leaves(grads):
+            g = np.asarray(leaf)
+            assert (g[:2] == 0).all()          # frozen views: exact zeros
+            live += np.abs(g[2]).sum()
+        assert live > 0                        # trainable view: live grads
+        # (per-leaf zeros are legitimate for the trainable view too: with
+        # zoom_clip_value=0 the zoom head's grads vanish identically)
+
+        def count_convs(m):
+            jaxpr = jax.make_jaxpr(jax.grad(lambda p: loss(p, m)))(params)
+            return str(jaxpr).count('conv_general_dilated')
+
+        assert count_convs(mask) < count_convs(None)
+
 
 @pytest.mark.slow
 class TestHybridUnet:
