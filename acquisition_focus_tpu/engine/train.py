@@ -73,7 +73,7 @@ class StageSpec:
     # forward, XLA gradients) | 'full' (Pallas fwd + dx + wgrad kernels).
     use_pallas_conv3d: object = False
     # checkpoint_name marks the decoder remat policy saves; ('conv_out',
-    # 'conv_in') additionally stores each conv's input so XLA wgrad reads a
+    # 'conv_in', or per-level 'conv_in0'...) additionally stores conv inputs so XLA wgrad reads a
     # saved activation instead of a recompute-fusion product (perf experiment)
     decoder_save_names: Tuple[str, ...] = ('conv_out',)
     # model width plan (reference widths by default). The multi-chip dryrun uses

@@ -92,14 +92,18 @@ class Conv3x3x3(nn.Module):
         return y + bias
 
 
-def _conv_block_3d(x, features, dtype, name_prefix, use_pallas_conv=False):
-    # 'conv_in'/'conv_out' mark the bf16 conv operands/results for the decoder's
-    # policy-based remat (see HybridUnet.decoder_save_names). The default policy
-    # saves only 'conv_out'; adding 'conv_in' also saves each conv's input so
-    # XLA's wgrad consumes a stored activation instead of recomputing the
-    # norm/leaky chain inside its backward fusion (~+1.2 GB at 128^3 reference
-    # widths) — a measured experiment, not the default.
-    x = checkpoint_name(x, 'conv_in')
+def _conv_block_3d(x, features, dtype, name_prefix, use_pallas_conv=False,
+                   level=0):
+    # 'conv_in{level}'/'conv_out' mark the bf16 conv operands/results for the
+    # decoder's policy-based remat (see HybridUnet.decoder_save_names). The
+    # default policy saves only 'conv_out'; adding 'conv_in{level}' also saves
+    # that level's conv inputs so XLA's wgrad consumes a stored activation
+    # instead of recomputing the norm/leaky chain inside its backward fusion
+    # (~+1.2 GB at 128^3 reference widths for level 0, which dominates — the
+    # per-level names let the experiment target dec0 alone). 'conv_in' in
+    # decoder_save_names expands to every level. Measured experiments, not the
+    # default.
+    x = checkpoint_name(x, f'conv_in{level}')
     x = Conv3x3x3(features, dtype=dtype, use_pallas=use_pallas_conv,
                   name=f'{name_prefix}_conv')(x)
     x = checkpoint_name(x, 'conv_out')
@@ -151,6 +155,7 @@ class DecoderStage(nn.Module):
     features: int
     dtype: jnp.dtype
     use_pallas_conv: bool = False
+    level: int = 0
 
     @nn.compact
     def __call__(self, y, skip):
@@ -158,8 +163,10 @@ class DecoderStage(nn.Module):
                              dtype=self.dtype, name='up')(y)
         y = checkpoint_name(y, 'conv_out')
         y = jnp.concatenate([y, skip], axis=-1)
-        y = _conv_block_3d(y, self.features, self.dtype, 'a', self.use_pallas_conv)
-        return _conv_block_3d(y, self.features, self.dtype, 'b', self.use_pallas_conv)
+        y = _conv_block_3d(y, self.features, self.dtype, 'a',
+                           self.use_pallas_conv, self.level)
+        return _conv_block_3d(y, self.features, self.dtype, 'b',
+                              self.use_pallas_conv, self.level)
 
 
 class HybridUnet(nn.Module):
@@ -209,13 +216,26 @@ class HybridUnet(nn.Module):
         if self.remat_skips:
             stage_cls = nn.remat(DecoderStage)
         else:
+            # expand 'conv_in' to every decoder level; validate so a typo'd
+            # save name benches the default policy loudly, not silently
+            valid = {'conv_out', 'conv_in'} | {
+                f'conv_in{s}' for s in range(n_stages - 1)}
+            unknown = set(self.decoder_save_names) - valid
+            if unknown:
+                raise ValueError(
+                    f"unknown decoder_save_names {sorted(unknown)}: expected "
+                    f"a subset of {sorted(valid)}")
+            save_names = []
+            for n in self.decoder_save_names:
+                save_names += [f'conv_in{s}' for s in range(n_stages - 1)] \
+                    if n == 'conv_in' else [n]
             stage_cls = nn.remat(
                 DecoderStage,
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    *self.decoder_save_names))
+                    *save_names))
         y = skips3d[-1]
         for s in range(n_stages - 2, -1, -1):
-            y = stage_cls(feats[s], self.dtype, self.use_pallas_conv,
+            y = stage_cls(feats[s], self.dtype, self.use_pallas_conv, s,
                           name=f'dec{s}')(y, skips3d[s])
 
         y = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32, name='seg_head')(y)

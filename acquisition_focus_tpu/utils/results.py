@@ -60,9 +60,36 @@ def dice_table(log_dir, label_tags=('MYO', 'LV', 'RV', 'LA', 'RA')):
     return table
 
 
+def cross_fold_table(log_dir, label_tags=('MYO', 'LV', 'RV', 'LA', 'RA')):
+    """Per-stage mean/std across CV folds of the final test dice — the
+    reference's cross-fold ablation aggregation (wandb groupby in
+    get_run_data.ipynb cells 11-13, fed by the 3-fold loop of
+    main_acquisition_focus.py:143-176). Run-dir names must carry the
+    ``_fold-N`` and (for sweeps) ``_stage-X`` postfixes that
+    utils.logging/get_fold_postfix and the stage machinery encode."""
+    per_run = dice_table(log_dir, label_tags)
+    if per_run.empty:
+        return per_run, per_run
+    idx = per_run.index.to_series()
+    fold = idx.str.extract(r'_fold-(\d+)')[0]
+    stage = idx.str.extract(r'_stage-(.+)$')[0].fillna('main')
+    per_run = per_run.assign(fold=fold.values, stage=stage.values)
+    g = per_run.groupby('stage')[list(per_run.columns[:-2])]
+    return g.mean(), g.std(ddof=0)
+
+
 if __name__ == '__main__':
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument('--log_dir', default='data/runs')
+    p.add_argument('--cross_fold', action='store_true',
+                   help='aggregate mean/std across _fold-N runs per stage')
     args = p.parse_args()
-    print(dice_table(args.log_dir).to_string())
+    if args.cross_fold:
+        mean, std = cross_fold_table(args.log_dir)
+        print('== mean across folds ==')
+        print(mean.to_string())
+        print('== std across folds ==')
+        print(std.to_string())
+    else:
+        print(dice_table(args.log_dir).to_string())
