@@ -31,7 +31,8 @@ from acquisition_focus_tpu.data.synthetic import write_phantom_dataset  # noqa: 
 def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         data_dir=None, out_dir=None, compute_dtype="bfloat16", fov_mult=1.5,
         base_features=None, locnet_width=None, model_type=None,
-        single_stage=False, all_folds=False, binarized=False):
+        single_stage=False, all_folds=False, binarized=False,
+        batch_size=2, accum=2):
     """fov_mult: mm per output voxel. 1.5 at spat=128 is the reference geometry
     (192 mm FOV); a reduced-resolution run (e.g. the spat=32 CPU fallback when
     the TPU backend is down) needs a larger multiplier so the ~110 mm phantom
@@ -52,7 +53,8 @@ def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
     fov = float(spat) * float(fov_mult)
     cfg = dict(
         dataset=["synthetic", str(data_dir)],
-        epochs=epochs, batch_size=2, num_grad_accum_steps=2, val_batch_size=1,
+        epochs=epochs, batch_size=batch_size, num_grad_accum_steps=accum,
+        val_batch_size=1,
         base_views=list(views),
         hires_fov_mm=[fov] * 3, hires_fov_vox=[spat] * 3,
         slice_fov_mm=[fov, fov, 1.5], slice_fov_vox=[spat, spat, 1],
@@ -287,6 +289,11 @@ if __name__ == "__main__":
                    help="run the full 3-fold CV instead of fold 0 only")
     p.add_argument("--binarized", action="store_true",
                    help="use_binarized_labels (forced on for (E)Pix2Vox)")
+    p.add_argument("--batch", type=int, default=2,
+                   help="microbatch size (batch x accum slabs per step; "
+                        "EPix2Vox at 128^3 needs batch 1 x accum 4 to fit "
+                        "16G HBM)")
+    p.add_argument("--accum", type=int, default=2)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (TPU-backend-down fallback)")
@@ -307,4 +314,5 @@ if __name__ == "__main__":
             views=tuple(a.views) if a.views else ("p2CH", "p4CH", "SA-7"),
             compute_dtype=a.compute_dtype, data_dir=a.data_dir, out_dir=a.out_dir,
             model_type=a.model_type, single_stage=a.single_stage,
-            all_folds=a.all_folds, binarized=a.binarized)
+            all_folds=a.all_folds, binarized=a.binarized,
+            batch_size=a.batch, accum=a.accum)
