@@ -73,6 +73,11 @@ DEFAULTS = DotDict(
     atm_remat=False,                 # True: fully recompute ATM conv chains in bwd
     unet_remat=False,                # True: fully recompute U-Net skip/decoder stages
                                      # (False = policy remat: save bf16 conv outs only)
+    decoder_save_names=["conv_out", "conv_in0"],  # decoder remat saves: conv outs
+                                     # + dec0 conv inputs so the 128^3-level wgrad
+                                     # reads a stored activation instead of a
+                                     # recompute-fusion product (1.8205 vs 1.8317
+                                     # s/step on v5e, PERF.md round 4)
     use_pallas_conv3d='fwd',         # Pallas conv on full-res decoder level:
                                      # False | 'fwd' (XLA grads) | 'full' (all Pallas).
                                      # 'fwd' measured fastest end-to-end on v5e

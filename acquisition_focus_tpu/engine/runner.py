@@ -61,6 +61,8 @@ def spec_from_config(config, num_classes, n_active_views, phase='train'):
         atm_remat=config.get('atm_remat', False),
         unet_remat=config.get('unet_remat', False),
         use_pallas_conv3d=config.get('use_pallas_conv3d', False),
+        decoder_save_names=tuple(config.get('decoder_save_names')
+                                 or ('conv_out', 'conv_in0')),
         base_features=tuple(config.get('base_features')
                             or (16, 32, 64, 128, 256, 256)),
         locnet_width=int(config.get('locnet_width') or 32),

@@ -74,8 +74,11 @@ class StageSpec:
     use_pallas_conv3d: object = False
     # checkpoint_name marks the decoder remat policy saves; ('conv_out',
     # 'conv_in', or per-level 'conv_in0'...) additionally stores conv inputs so XLA wgrad reads a
-    # saved activation instead of a recompute-fusion product (perf experiment)
-    decoder_save_names: Tuple[str, ...] = ('conv_out',)
+    # saved activation instead of a recompute-fusion product. Saving dec0's
+    # inputs (the 128^3 level) measured 1.8205 vs 1.8317 s/step on v5e at
+    # batch 2 x accum 2 (PERF.md round 4); batch 4 x accum 1 with the same
+    # save list fails to execute (HBM).
+    decoder_save_names: Tuple[str, ...] = ('conv_out', 'conv_in0')
     # model width plan (reference widths by default). The multi-chip dryrun uses
     # skinny widths: identical program/sharding structure, ~50x fewer FLOPs.
     base_features: Tuple[int, ...] = (16, 32, 64, 128, 256, 256)

@@ -89,7 +89,8 @@ def build_workload(compute_dtype='bfloat16'):
         # e.g. BENCH_DECODER_SAVE=conv_out,conv_in — which marked activations
         # the decoder remat policy stores (see StageSpec.decoder_save_names)
         decoder_save_names=tuple(
-            os.environ.get('BENCH_DECODER_SAVE', 'conv_out').split(',')))
+            os.environ.get('BENCH_DECODER_SAVE',
+                           'conv_out,conv_in0').split(',')))
 
     unet, atms = make_models(spec)
     unet_params, atm_params = init_params(spec, jax.random.key(0), batch_size=1)

@@ -32,7 +32,7 @@ def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         data_dir=None, out_dir=None, compute_dtype="bfloat16", fov_mult=1.5,
         base_features=None, locnet_width=None, model_type=None,
         single_stage=False, all_folds=False, binarized=False,
-        batch_size=2, accum=2):
+        batch_size=2, accum=2, metrics_every=5):
     """fov_mult: mm per output voxel. 1.5 at spat=128 is the reference geometry
     (192 mm FOV); a reduced-resolution run (e.g. the spat=32 CPU fallback when
     the TPU backend is down) needs a larger multiplier so the ~110 mm phantom
@@ -62,7 +62,7 @@ def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         num_folds=3, fold_override=0,
         compute_dtype=compute_dtype, num_sa_slices=15,
         log_dir=str(run_root / "runs"), mdl_save_prefix=str(run_root / "models"),
-        metrics_every=5, save_every="best", do_output=True,
+        metrics_every=metrics_every, save_every="best", do_output=True,
         use_caching=True,
         # crash-resumable sweep: completed stages are skipped on relaunch,
         # an interrupted stage resumes from its best checkpoint (main.py)
@@ -297,6 +297,9 @@ if __name__ == "__main__":
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (TPU-backend-down fallback)")
+    p.add_argument("--metrics_every", type=int, default=5,
+                   help="heavy val/test metric-epoch cadence (final epoch "
+                        "always measures)")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--out_dir", default=None)
     p.add_argument("--collect_only", default=None,
@@ -315,4 +318,4 @@ if __name__ == "__main__":
             compute_dtype=a.compute_dtype, data_dir=a.data_dir, out_dir=a.out_dir,
             model_type=a.model_type, single_stage=a.single_stage,
             all_folds=a.all_folds, binarized=a.binarized,
-            batch_size=a.batch, accum=a.accum)
+            batch_size=a.batch, accum=a.accum, metrics_every=a.metrics_every)
