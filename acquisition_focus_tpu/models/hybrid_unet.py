@@ -28,7 +28,8 @@ from jax.ad_checkpoint import checkpoint_name
 from acquisition_focus_tpu.models.localization import instance_norm
 from acquisition_focus_tpu.ops.affine import affine_zooms, scale_affine_columns
 from acquisition_focus_tpu.ops.pallas import conv3d as pallas_conv3d
-from acquisition_focus_tpu.ops.pallas.plane_resample import plane_resample_pallas
+from acquisition_focus_tpu.ops.pallas.plane_resample import (
+    plane_resample_pallas, plane_resample_supported)
 from acquisition_focus_tpu.ops.resample import sample_slice_into_volume
 
 BASE_FEATURES = (16, 32, 64, 128, 256, 256)
@@ -136,7 +137,8 @@ class SkipConnector(nn.Module):
         # slab-skipping MXU kernel replaces the XLA gather (3-6x faster). A bf16
         # compute dtype also switches its MXU contractions to bf16 ('fast'): the
         # features/gradients flowing through are bf16-rounded anyway.
-        on_tpu = self.use_pallas and jax.default_backend() == 'tpu'
+        on_tpu = (self.use_pallas and jax.default_backend() == 'tpu'
+                  and plane_resample_supported(S, f))
         fast = self.dtype == jnp.bfloat16
         views = []
         for v in range(self.n_views):

@@ -96,6 +96,16 @@ def _y_chunk_size(S, C):
     return max(1, min(16, S, 256 // C))
 
 
+def plane_resample_supported(S, C):
+    """Whether the Pallas kernel's lane-slice constraint holds for this shape.
+
+    The stage-2 chunk loop slices the (S, S*C) slab at dynamic lane offsets
+    yc*YC*C, which Mosaic requires to be provably 128-multiples. True for all
+    reference width plans (f in 16..256 at S in 4..128); tiny debug widths
+    (e.g. f=8 at S=8) violate it and must use the XLA gather fallback."""
+    return (_y_chunk_size(S, C) * C) % 128 == 0
+
+
 def _tile_point_coords(coef_ref, tile, dims, tiles_per_axis, shape, dim):
     """Continuous (ix, iy, iz) and (d, h, w) for this tile's points, oriented as
     `shape` ((1, P) for dim=1 / (P, 1) for dim=0)."""
