@@ -16,16 +16,51 @@ Deviations (documented):
   single params pytree).
 """
 
+from functools import partial
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
+class _BatchNorm(nn.Module):
+    """True batch normalization on the CURRENT batch's statistics: per-channel
+    mean/var over batch + spatial dims, learned scale/bias (init 1/0, reference
+    init_weights, epix2vox.py:26-28). Matches torch BatchNorm's train-mode
+    computation; eval also uses batch stats (documented deviation — no running
+    averages, keeping the model a single params pytree).
+
+    Round-4 collapse diagnosis: the previous implementation used flax GroupNorm
+    with group_size = n_channels, which normalizes PER SAMPLE over
+    (spatial, all channels) — a layer norm, never touching the batch axis and
+    erasing per-channel activation statistics that the Pix2Vox architecture
+    (BatchNorm between every conv and its ReLU/sigmoid) is designed around."""
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+        axes = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axes)
+        var = xf.var(axes)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
 def _batch_norm(x, name):
-    """Per-feature normalization over batch+spatial dims with learned scale/bias."""
-    return nn.GroupNorm(num_groups=None, group_size=x.shape[-1], epsilon=1e-5,
-                        use_scale=True, use_bias=True, name=name)(x)
+    return _BatchNorm(name=name)(x)
+
+
+# Reference init_weights (related_works/epix2vox/epix2vox.py:19-30): kaiming_normal
+# on every (transposed) conv weight, zero bias; normal(0, 0.01) on linear weights.
+_KAIMING = nn.initializers.variance_scaling(2.0, 'fan_in', 'normal')
+_Conv = partial(nn.Conv, kernel_init=_KAIMING)
+_ConvT = partial(nn.ConvTranspose, kernel_init=_KAIMING)
+_Dense = partial(nn.Dense, kernel_init=nn.initializers.normal(0.01))
 
 
 class _Bottleneck(nn.Module):
@@ -36,17 +71,17 @@ class _Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        out = nn.Conv(self.features, (1, 1), use_bias=False, name='conv1')(x)
+        out = _Conv(self.features, (1, 1), use_bias=False, name='conv1')(x)
         out = _batch_norm(out, 'bn1')
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+        out = _Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                       padding='SAME', use_bias=False, name='conv2')(out)
         out = _batch_norm(out, 'bn2')
         out = nn.relu(out)
-        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, name='conv3')(out)
+        out = _Conv(self.features * 4, (1, 1), use_bias=False, name='conv3')(out)
         out = _batch_norm(out, 'bn3')
         if residual.shape[-1] != self.features * 4 or self.stride != 1:
-            residual = nn.Conv(self.features * 4, (1, 1),
+            residual = _Conv(self.features * 4, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, name='down')(x)
             residual = _batch_norm(residual, 'bn_down')
@@ -58,7 +93,7 @@ class ResNet50Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+        x = _Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, name='conv1')(x)
         x = _batch_norm(x, 'bn1')
         x = nn.relu(x)
@@ -82,12 +117,12 @@ class Epix2VoxEncoder(nn.Module):
         B, V = views.shape[0], views.shape[1]
         x = views.reshape((B * V,) + views.shape[2:])
         x = ResNet50Stem(name='resnet')(x)                       # (BV, 28, 28, 512)
-        x = nn.Conv(512, (3, 3), padding='VALID', name='l1_conv')(x)
+        x = _Conv(512, (3, 3), padding='VALID', name='l1_conv')(x)
         x = nn.elu(_batch_norm(x, 'l1_bn'))                      # (BV, 26, 26, 512)
-        x = nn.Conv(512, (3, 3), padding='VALID', name='l2_conv')(x)
+        x = _Conv(512, (3, 3), padding='VALID', name='l2_conv')(x)
         x = nn.elu(_batch_norm(x, 'l2_bn'))                      # (BV, 24, 24, 512)
         x = nn.max_pool(x, (3, 3), strides=(3, 3))               # (BV, 8, 8, 512)
-        x = nn.Conv(256, (1, 1), name='l3_conv')(x)
+        x = _Conv(256, (1, 1), name='l3_conv')(x)
         x = nn.elu(_batch_norm(x, 'l3_bn'))                      # (BV, 8, 8, 256)
         x = x.reshape(B, V, 8, 8, 256)
 
@@ -96,7 +131,7 @@ class Epix2VoxEncoder(nn.Module):
             # collapses all views into ONE fused feature map (reference
             # encoder_128.py:34-38,57-58 — the decoder then sees a single 'view')
             h = jnp.transpose(x, (0, 2, 3, 4, 1))                # (B, 8, 8, 256, V)
-            h = nn.Conv(1, (3, 3, 3), padding='SAME', name='l4_conv')(h)
+            h = _Conv(1, (3, 3, 3), padding='SAME', name='l4_conv')(h)
             h = _batch_norm(h, 'l4_bn')
             h = nn.leaky_relu(h, negative_slope=self.leaky)
             x = jnp.transpose(h, (0, 4, 1, 2, 3))                # (B, 1, 8, 8, 256)
@@ -113,12 +148,12 @@ class Epix2VoxDecoder(nn.Module):
         x = feats.reshape(B * V, 2, 2, 2, 2048)
         specs = [(512,), (128,), (32,), (32,), (32,), (8,)]
         for i, (f,) in enumerate(specs):
-            x = nn.ConvTranspose(f, (4, 4, 4), strides=(2, 2, 2), padding='SAME',
+            x = _ConvT(f, (4, 4, 4), strides=(2, 2, 2), padding='SAME',
                                  use_bias=False, name=f'up{i}')(x)
             x = _batch_norm(x, f'up{i}_bn')
             x = nn.relu(x)                                       # ... -> (BV,128^3,8)
         raw = x
-        vol = nn.sigmoid(nn.ConvTranspose(1, (1, 1, 1), use_bias=False,
+        vol = nn.sigmoid(_ConvT(1, (1, 1, 1), use_bias=False,
                                           name='head')(x))       # (BV, 128^3, 1)
         raw = jnp.concatenate([raw, vol], axis=-1)               # (BV, 128^3, 9)
         S = raw.shape[1]
@@ -135,7 +170,7 @@ class Epix2VoxMerger(nn.Module):
         B, V = raw_features.shape[0], raw_features.shape[1]
         x = raw_features.reshape((B * V,) + raw_features.shape[2:])
         for i, f in enumerate((16, 8, 4, 2, 1)):
-            x = nn.Conv(f, (3, 3, 3), padding='SAME', name=f'm{i}_conv')(x)
+            x = _Conv(f, (3, 3, 3), padding='SAME', name=f'm{i}_conv')(x)
             x = _batch_norm(x, f'm{i}_bn')
             x = nn.leaky_relu(x, negative_slope=self.leaky)
         S = x.shape[1]
@@ -156,22 +191,22 @@ class Epix2VoxRefiner(nn.Module):
         x = vol[..., None]
         skips = []
         for i, f in enumerate((8, 16, 32, 64, 128)):
-            x = nn.Conv(f, (4, 4, 4), padding=2, name=f'r{i}_conv')(x)
+            x = _Conv(f, (4, 4, 4), padding=2, name=f'r{i}_conv')(x)
             x = _batch_norm(x, f'r{i}_bn')
             x = nn.leaky_relu(x, negative_slope=self.leaky)
             x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
             skips.append(x)
         B = x.shape[0]
         h = x.reshape(B, -1)
-        h = nn.relu(nn.Dense(2048, name='fc1')(h))
-        h = nn.relu(nn.Dense(8192, name='fc2')(h))
+        h = nn.relu(_Dense(2048, name='fc1')(h))
+        h = nn.relu(_Dense(8192, name='fc2')(h))
         x = h.reshape(x.shape)
         for i, f in enumerate((64, 32, 16, 8)):
-            x = nn.ConvTranspose(f, (4, 4, 4), strides=(2, 2, 2), padding='SAME',
+            x = _ConvT(f, (4, 4, 4), strides=(2, 2, 2), padding='SAME',
                                  use_bias=False, name=f'u{i}')(x)
             x = _batch_norm(x, f'u{i}_bn')
             x = nn.relu(x)
-        x = nn.sigmoid(nn.ConvTranspose(1, (4, 4, 4), strides=(2, 2, 2),
+        x = nn.sigmoid(_ConvT(1, (4, 4, 4), strides=(2, 2, 2),
                                         padding='SAME', use_bias=False,
                                         name='u_out')(x))
         return (vol + x[..., 0]) * 0.5
