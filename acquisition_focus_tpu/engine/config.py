@@ -77,7 +77,15 @@ DEFAULTS = DotDict(
                                      # + dec0 conv inputs so the 128^3-level wgrad
                                      # reads a stored activation instead of a
                                      # recompute-fusion product (1.8205 vs 1.8317
-                                     # s/step on v5e, PERF.md round 4)
+                                     # s/step on v5e, PERF.md round 4).
+                                     # HBM trade: 'conv_in0' stores two extra
+                                     # B x 48..96 x 128^3 bf16 activations per
+                                     # microbatch (~1.2 GB at B=2) for an ~11 ms
+                                     # (0.6%) win — batch 4 x accum 1 OOMs with
+                                     # it on (PERF.md round 4). Memory-tight
+                                     # shapes should set ["conv_out"] (or [] for
+                                     # pure recompute); an empty list is honored,
+                                     # not coerced back to the default.
     use_pallas_conv3d='fwd',         # Pallas conv on full-res decoder level:
                                      # False | 'fwd' (XLA grads) | 'full' (all Pallas).
                                      # 'fwd' measured fastest end-to-end on v5e
@@ -85,6 +93,17 @@ DEFAULTS = DotDict(
                                      # wgrad kernel loses to XLA standalone, PERF.md);
                                      # no-op off-TPU or at non-128-multiple widths
 
+    theta_refresh_every=1,           # theta-refresh cadence k: locnets run+train
+                                     # per step only every k-th epoch; between
+                                     # refreshes each sample's theta is a cached
+                                     # constant (exact while the transform params
+                                     # are frozen) and the cached-theta step
+                                     # traces no locnet at all. 1 = reference
+                                     # behavior (recompute per step). k>1 is a
+                                     # RECIPE change (transform updates at 1/k
+                                     # cadence, thetas blind to the augmentation
+                                     # draw) — see PERF.md round 5 for the
+                                     # measured speed/Dice trade.
     mesh_shape=None,                 # e.g. {"data": 8}; None = single device
     stop_at_epoch=None,              # pause a run early; schedules still span `epochs`
     base_features=None,              # U-Net width plan override (None = reference)

@@ -6,6 +6,7 @@ fully inside the jitted ``train_step``/``eval_step`` of engine.train and only
 per-epoch bookkeeping on the host.
 """
 
+import dataclasses
 import time
 from pathlib import Path
 
@@ -21,7 +22,7 @@ from acquisition_focus_tpu.engine.metrics import (
 from acquisition_focus_tpu.engine.optimizers import (
     make_reconstruction_optimizer, make_transform_optimizer)
 from acquisition_focus_tpu.engine.train import (
-    StageSpec, eval_step, init_params, make_models, train_step)
+    StageSpec, eval_step, init_params, make_models, theta_pass, train_step)
 from acquisition_focus_tpu.parallel.mesh import (
     make_mesh, replicate, shard_batch, shard_opt_state, shard_params)
 from acquisition_focus_tpu.geometry.clinical_views import get_class_volumes
@@ -61,8 +62,13 @@ def spec_from_config(config, num_classes, n_active_views, phase='train'):
         atm_remat=config.get('atm_remat', False),
         unet_remat=config.get('unet_remat', False),
         use_pallas_conv3d=config.get('use_pallas_conv3d', False),
-        decoder_save_names=tuple(config.get('decoder_save_names')
-                                 or ('conv_out', 'conv_in0')),
+        # only a MISSING key falls back — an explicitly-empty list is a valid
+        # 'save nothing, recompute everything' policy and must not be coerced
+        # to the most memory-hungry default (round-4 advisor item)
+        decoder_save_names=tuple(
+            config['decoder_save_names']
+            if config.get('decoder_save_names') is not None
+            else ('conv_out', 'conv_in0')),
         base_features=tuple(config.get('base_features')
                             or (16, 32, 64, 128, 256, 256)),
         locnet_width=int(config.get('locnet_width') or 32),
@@ -185,6 +191,33 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
     best_save_path = None
     seed = config.get('seed', 0)
 
+    # theta-refresh cadence (`theta_refresh_every` = k > 1): locnets run and
+    # train per step only every k-th epoch; in between, each sample's theta is
+    # a cached constant snapshotted by theta_pass after the last update epoch
+    # (exact while the transform params are frozen — train.compute_thetas).
+    # The cached-theta step traces no locnet at all (561 ms of the 1.82 s
+    # default step, PERF.md). Cache is derivable state: a resume just
+    # re-snapshots at its first non-refresh epoch.
+    theta_every = int(config.get('theta_refresh_every', 1) or 1)
+    use_theta_cache = (theta_every > 1 and spec.use_affine_theta
+                      and bool(spec.view_train_mask().any())
+                      and not run_test_once_only)
+    spec_cached = dataclasses.replace(spec, theta_source='cached') \
+        if use_theta_cache else None
+    theta_cache = {}
+
+    def refresh_theta_cache(params):
+        for t_sel, t_batch in training_dataset.iterate_eval_batches(
+                train_idxs, 1):
+            th = np.asarray(theta_pass(specs['train'], params,
+                                       put_batch(t_batch, train=False)))
+            theta_cache[t_sel[0]] = th[:, 0]   # (A, 4, 4)
+
+    def thetas_for(sel, accum_, B_):
+        th = np.stack([theta_cache[sid] for sid in sel])   # (accum*B, A, 4, 4)
+        th = th.reshape(accum_, B_, *th.shape[1:])
+        return np.ascontiguousarray(th.transpose(0, 2, 1, 3, 4))  # (accum,A,B,4,4)
+
     out_dir = Path(base_dir) / 'data/output' / run_name
 
     seg_model, seg_params = _load_segmenter(config, num_classes)
@@ -207,16 +240,22 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
 
         if not run_test_once_only:
             # ---- train ----
+            refresh_epoch = (not use_theta_cache) or (epx % theta_every == 0)
+            if use_theta_cache and not refresh_epoch and not theta_cache:
+                refresh_theta_cache(atm_params)   # resume landed mid-cycle
+            step_spec = specs['train'] if refresh_epoch else spec_cached
             t_metrics = {}
             losses = []
             n_steps = 0
             for sel, batch in training_dataset.iterate_train_macrobatches(
                     train_idxs, B, accum, data_rng):
+                if not refresh_epoch:
+                    batch = dict(batch, thetas=thetas_for(sel, accum, B))
                 step_key = jax.random.fold_in(
                     jax.random.key(seed), global_idx * 10000 + n_steps)
                 (unet_params, atm_params, recon_state, trans_state,
                  metrics, _) = train_step(
-                    specs['train'], unet, atms, recon_opt, trans_opt,
+                    step_spec, unet, atms, recon_opt, trans_opt,
                     unet_params, atm_params, recon_state, trans_state,
                     put_batch(batch, train=True), step_key)
                 losses.append(float(metrics['loss']))
@@ -226,6 +265,11 @@ def run_dl(base_dir, config, fold_properties, stage=None, training_dataset=None,
                 n_steps += 1
             train_loss = float(np.mean(losses)) if losses else float('nan')
             _log_phase(logger, config, 'train', train_loss, t_metrics, global_idx)
+
+            if use_theta_cache and refresh_epoch:
+                # snapshot thetas for the next k-1 cached epochs (the locnet
+                # was last updated by this epoch's final step)
+                refresh_theta_cache(atm_params)
 
             # ---- val ----
             val_loss = _eval_phase(

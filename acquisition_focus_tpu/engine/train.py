@@ -83,6 +83,12 @@ class StageSpec:
     # skinny widths: identical program/sharding structure, ~50x fewer FLOPs.
     base_features: Tuple[int, ...] = (16, 32, 64, 128, 256, 256)
     locnet_width: int = 32
+    # theta-refresh cadence (config `theta_refresh_every` > 1): 'locnet' runs
+    # and trains the localization nets per step (reference behavior); 'cached'
+    # takes per-sample thetas precomputed by `theta_pass` from the batch and
+    # traces NO locnet at all — the single largest step-time bucket (561 ms of
+    # 1.82 s at the default workload, PERF.md) vanishes from those steps.
+    theta_source: str = 'locnet'
 
     @property
     def dtype(self):
@@ -91,7 +97,7 @@ class StageSpec:
     def view_train_mask(self):
         """(n_active_views,) bool: which views' thetas receive gradients."""
         mask = np.zeros(self.n_active_views, bool)
-        if not self.use_affine_theta:
+        if not self.use_affine_theta or self.theta_source == 'cached':
             return mask
         if self.view_optimization_mode == 'opt-all':
             mask[:] = True
@@ -174,8 +180,60 @@ def _active_atm_params(atm_params, n_active):
     return jax.tree_util.tree_map(lambda p: p[:n_active], atm_params)
 
 
+def compute_thetas(spec: StageSpec, atm_params, soft_label, nii_affine,
+                   view_affines):
+    """Prescan resample + localization nets -> (A, B, 4, 4) learned corrections.
+
+    Factored out of ``extract_view_slices`` so the theta-refresh cadence
+    (``theta_refresh_every`` > 1) can snapshot every sample's thetas in one
+    cheap forward-only pass: between transform-optimizer updates the locnet
+    params are constant, so for a fixed (sample, view_affine) the theta is
+    exactly constant too — recomputing it per step (as the reference does,
+    learnable_transform.py:248-270) buys nothing on non-update steps."""
+    A = spec.n_active_views
+    B, C = soft_label.shape[0], soft_label.shape[1]
+    # 1) no-grad resample of the soft label into each view's prescan frame —
+    #    the localization net input (reference learnable_transform.py:248-255).
+    #    All A view affines share the (never duplicated) volume; the resample
+    #    runs in the compute dtype through the forward-only fast path (Pallas
+    #    bbox-DMA kernel on TPU) — this input only feeds the (bf16)
+    #    localization convs under stop_gradient. The kernel's static bbox
+    #    covers affine scales up to ~1.4 source voxels per output voxel; the
+    #    prescan affine's scale is the static FOV ratio (e.g. 4x for 6mm/32³
+    #    prescans from the 1.5mm hires volume) times the augmentation zoom
+    #    (1 + 0.2*strength). Out-of-range configs fall back to the exact
+    #    gather path.
+    sample_fn = (nifti_grid_sample_nodiff if prescan_kernel_in_scale(spec)
+                 else nifti_grid_sample)
+    prescan, _, _ = sample_fn(
+        jax.lax.stop_gradient(soft_label.astype(spec.dtype)), nii_affine,
+        jnp.asarray(spec.prescan_fov_mm), spec.prescan_fov_vox,
+        is_label=False,
+        pre_grid_sample_affine=jax.lax.stop_gradient(_fold(view_affines)))
+    prescan = jax.lax.stop_gradient(prescan)  # stays in compute dtype
+    P = spec.prescan_fov_vox
+    prescan = jnp.transpose(prescan, (0, 2, 3, 4, 1)).reshape(
+        (A, B) + tuple(P) + (C,))
+
+    # 2) stacked localization nets -> constrained thetas (per-view loop:
+    #    measured 3x faster than the vmapped grouped-conv lowering, PERF.md)
+    from acquisition_focus_tpu.models.atm import apply_stacked_atms
+    return apply_stacked_atms(
+        _active_atm_params(atm_params, A), prescan,
+        optim_method=spec.optim_method,
+        prescan_spat=spec.prescan_fov_vox[0],
+        offset_clip_value=spec.offset_clip_value,
+        zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype,
+        remat=spec.atm_remat, locnet_width=spec.locnet_width,
+        # structural per-view stop_gradient: frozen views' locnet backward
+        # is never traced (the where-mask in the caller only zeroes it at
+        # runtime)
+        train_mask=spec.view_train_mask())
+
+
 def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affine,
-                        view_affines, augment_rng=None, image=None):
+                        view_affines, augment_rng=None, image=None,
+                        cached_thetas=None):
     """Produce per-view model-input slices along learned view planes.
 
     Args:
@@ -185,6 +243,9 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
         (inv(base) @ clinical view affine — reference run_dl.py:227-234).
       augment_rng: optional key -> per-sample input-orientation augmentation
         (shared across views, reference run_dl.py:208-223,274-279).
+      cached_thetas: (A, B, 4, 4) precomputed per-sample thetas; when
+        ``spec.theta_source == 'cached'`` these replace the prescan+locnet
+        computation entirely (theta-refresh cadence).
 
     Returns: (slices (A, B, C, Sh, Sw), grid_affines (A, B, 4, 4),
               out_nii_affines (A, B, 4, 4), thetas (A, B, 4, 4))
@@ -200,43 +261,16 @@ def extract_view_slices(spec: StageSpec, atms, atm_params, soft_label, nii_affin
             offset_strength=0.0)
         view_affines = compose(view_affines, aug[None])
 
-    if spec.use_affine_theta:
-        # 1) no-grad resample of the soft label into each view's prescan frame —
-        #    the localization net input (reference learnable_transform.py:248-255).
-        #    All A view affines share the (never duplicated) volume; the resample
-        #    runs in the compute dtype through the forward-only fast path (Pallas
-        #    bbox-DMA kernel on TPU) — this input only feeds the (bf16)
-        #    localization convs under stop_gradient. The kernel's static bbox
-        #    covers affine scales up to ~1.4 source voxels per output voxel; the
-        #    prescan affine's scale is the static FOV ratio (e.g. 4x for 6mm/32³
-        #    prescans from the 1.5mm hires volume) times the augmentation zoom
-        #    (1 + 0.2*strength). Out-of-range configs fall back to the exact
-        #    gather path.
-        sample_fn = (nifti_grid_sample_nodiff if prescan_kernel_in_scale(spec)
-                     else nifti_grid_sample)
-        prescan, _, _ = sample_fn(
-            jax.lax.stop_gradient(soft_label.astype(spec.dtype)), nii_affine,
-            jnp.asarray(spec.prescan_fov_mm), spec.prescan_fov_vox,
-            is_label=False,
-            pre_grid_sample_affine=jax.lax.stop_gradient(_fold(view_affines)))
-        prescan = jax.lax.stop_gradient(prescan)  # stays in compute dtype
-        P = spec.prescan_fov_vox
-        prescan = jnp.transpose(prescan, (0, 2, 3, 4, 1)).reshape(
-            (A, B) + tuple(P) + (C,))
-
-        # 2) stacked localization nets -> constrained thetas (per-view loop:
-        #    measured 3x faster than the vmapped grouped-conv lowering, PERF.md)
-        from acquisition_focus_tpu.models.atm import apply_stacked_atms
-        thetas = apply_stacked_atms(
-            _active_atm_params(atm_params, A), prescan,
-            optim_method=spec.optim_method,
-            prescan_spat=spec.prescan_fov_vox[0],
-            offset_clip_value=spec.offset_clip_value,
-            zoom_clip_value=spec.zoom_clip_value, dtype=spec.dtype,
-            remat=spec.atm_remat, locnet_width=spec.locnet_width,
-            # structural per-view stop_gradient: frozen views' locnet backward
-            # is never traced (the where-mask below only zeroes it at runtime)
-            train_mask=spec.view_train_mask())
+    if spec.use_affine_theta and spec.theta_source == 'cached':
+        # theta cadence: thetas were snapshotted by theta_pass after the last
+        # transform update; the locnet is neither run nor differentiated here.
+        # Note the cache was computed from the UNAUGMENTED view orientation —
+        # the slicing below still sees the augmented orientation, the learned
+        # correction just doesn't react to the augmentation draw.
+        thetas = jax.lax.stop_gradient(cached_thetas.astype(jnp.float32))
+    elif spec.use_affine_theta:
+        thetas = compute_thetas(spec, atm_params, soft_label, nii_affine,
+                                view_affines)
     else:
         thetas = jnp.broadcast_to(jnp.eye(4), (A, B, 4, 4)).astype(jnp.float32)
 
@@ -392,7 +426,8 @@ def forward(spec: StageSpec, unet, unet_params, atms, atm_params, batch, rng,
                      and seg_model is not None)
     slices, grid_affines, out_nii, thetas, image_slices = extract_view_slices(
         spec, atms, atm_params, soft_label, nii_affine, view_affines, aug_in,
-        image=batch.get('image') if use_segmenter else None)
+        image=batch.get('image') if use_segmenter else None,
+        cached_thetas=batch.get('thetas'))
 
     if use_segmenter:
         slices = _segment_slices_in_jit(spec, seg_model, seg_params, image_slices)
@@ -509,6 +544,21 @@ def train_step(spec: StageSpec, unet, atms, recon_opt, trans_opt,
     metrics = {'loss': losses.mean(), 'dice': dices.reshape(-1, dices.shape[-1])}
     return (unet_params, atm_params, recon_opt_state, trans_opt_state,
             metrics, None)
+
+
+@partial(jax.jit, static_argnames=('spec',))
+def theta_pass(spec: StageSpec, atm_params, batch):
+    """Snapshot every sample's learned view corrections: (A, B, 4, 4).
+
+    Forward-only, UNAUGMENTED, no gradients — used by the theta-refresh
+    cadence to fill the per-sample theta cache after each transform-optimizer
+    update window. Must be called with a spec whose theta_source is 'locnet'
+    (the cached spec would have nothing to compute)."""
+    label = batch['label']
+    onehot = jax.nn.one_hot(label, spec.num_classes, axis=1, dtype=jnp.float32)
+    view_affines = batch['view_affines'][:spec.n_active_views]
+    return jax.lax.stop_gradient(compute_thetas(
+        spec, atm_params, onehot, batch['nii_affine'], view_affines))
 
 
 @partial(jax.jit, static_argnames=('spec', 'unet', 'atms', 'with_aug', 'seg_model'))

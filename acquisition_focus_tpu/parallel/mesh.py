@@ -51,12 +51,15 @@ def batch_shardings(mesh, train=True):
             'image': P(None, d_axis),
             'nii_affine': P(None, d_axis),
             'view_affines': P(None, v_axis, d_axis),
+            # cached per-sample thetas (theta-refresh cadence): (accum, A, B, 4, 4)
+            'thetas': P(None, v_axis, d_axis),
         }
     return {
         'label': P(d_axis),
         'image': P(d_axis),
         'nii_affine': P(d_axis),
         'view_affines': P(v_axis, d_axis),
+        'thetas': P(v_axis, d_axis),
     }
 
 

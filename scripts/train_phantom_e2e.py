@@ -32,7 +32,8 @@ def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         data_dir=None, out_dir=None, compute_dtype="bfloat16", fov_mult=1.5,
         base_features=None, locnet_width=None, model_type=None,
         single_stage=False, all_folds=False, binarized=False,
-        batch_size=2, accum=2, metrics_every=5):
+        batch_size=2, accum=2, metrics_every=5, prescan=None,
+        theta_refresh=1, seed=0):
     """fov_mult: mm per output voxel. 1.5 at spat=128 is the reference geometry
     (192 mm FOV); a reduced-resolution run (e.g. the spat=32 CPU fallback when
     the TPU backend is down) needs a larger multiplier so the ~110 mm phantom
@@ -68,6 +69,13 @@ def run(epochs=40, n_cases=14, views=("p2CH", "p4CH", "SA-7"), spat=128,
         # an interrupted stage resumes from its best checkpoint (main.py)
         sweep_state_path=str(run_root / "sweep_state.json"),
     )
+    if prescan is not None:
+        # locnet-input-resolution ablation (round-5 perf lever): same physical
+        # FOV, coarser prescan grid for the localization nets only
+        cfg["prescan_fov_vox"] = [int(prescan)] * 3
+    if theta_refresh and int(theta_refresh) > 1:
+        cfg["theta_refresh_every"] = int(theta_refresh)
+    cfg["seed"] = int(seed)
     if base_features is not None:
         cfg["base_features"] = list(base_features)
     if locnet_width is not None:
@@ -300,6 +308,11 @@ if __name__ == "__main__":
     p.add_argument("--metrics_every", type=int, default=5,
                    help="heavy val/test metric-epoch cadence (final epoch "
                         "always measures)")
+    p.add_argument("--prescan", type=int, default=None,
+                   help="prescan/locnet grid (e.g. 64); None = spat")
+    p.add_argument("--theta_refresh", type=int, default=1,
+                   help="theta-refresh cadence k (config theta_refresh_every)")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_dir", default=None)
     p.add_argument("--out_dir", default=None)
     p.add_argument("--collect_only", default=None,
@@ -318,4 +331,5 @@ if __name__ == "__main__":
             compute_dtype=a.compute_dtype, data_dir=a.data_dir, out_dir=a.out_dir,
             model_type=a.model_type, single_stage=a.single_stage,
             all_folds=a.all_folds, binarized=a.binarized,
-            batch_size=a.batch, accum=a.accum, metrics_every=a.metrics_every)
+            batch_size=a.batch, accum=a.accum, metrics_every=a.metrics_every,
+            prescan=a.prescan, theta_refresh=a.theta_refresh, seed=a.seed)

@@ -71,6 +71,19 @@ def leaves_equal(a, b):
         np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb))
 
 
+def test_empty_decoder_save_names_is_honored(tmp_path):
+    """An explicit [] means 'save nothing' (pure recompute); only a MISSING
+    key falls back to the ('conv_out', 'conv_in0') default (advisor item)."""
+    from acquisition_focus_tpu.engine.runner import spec_from_config
+    cfg = make_config(tmp_path, decoder_save_names=[])
+    spec = spec_from_config(cfg, num_classes=6, n_active_views=1)
+    assert spec.decoder_save_names == ()
+    cfg_default = make_config(tmp_path)
+    spec_default = spec_from_config(cfg_default, num_classes=6,
+                                    n_active_views=1)
+    assert spec_default.decoder_save_names == ('conv_out', 'conv_in0')
+
+
 def test_optax_state_checkpoint_roundtrip(tmp_path):
     """Optimizer states survive the flatten-to-leaves checkpoint encoding."""
     opt = optax.chain(optax.clip_by_global_norm(1.0),
@@ -120,6 +133,34 @@ def test_exact_resume(tmp_path, phantom_dataset_factory):
     assert leaves_equal(full['atm_params'], resumed['atm_params'])
     assert leaves_equal(full['recon_opt_leaves'], resumed['recon_opt_leaves'])
     assert leaves_equal(full['trans_opt_leaves'], resumed['trans_opt_leaves'])
+
+
+@pytest.mark.slow
+def test_theta_cadence_runs_and_freezes_atms_between_refreshes(
+        tmp_path, phantom_dataset_factory):
+    """theta_refresh_every=2: epochs 1 (cached) must not move ATM params;
+    epoch 2 (refresh) must. The run must complete with finite losses."""
+    cfg = make_config(tmp_path, epochs=3, theta_refresh_every=2,
+                      save_every=1)
+    ds = phantom_dataset_factory(cfg)
+    fold = (0, (list(range(4)), [5]))
+    p = run_dl(str(tmp_path), cfg.copy(), fold, training_dataset=ds,
+               test_dataset=None, run_name='cadence')
+    ck = load_checkpoint(p)
+    assert int(ck['epoch']) == 2
+    # per-epoch ATM movement: re-run epoch-by-epoch via stop_at_epoch pauses
+    cfg_a = make_config(tmp_path / 'steps', epochs=3, theta_refresh_every=2,
+                        stop_at_epoch=1)
+    pa = run_dl(str(tmp_path / 'steps'), cfg_a.copy(), fold,
+                training_dataset=ds, test_dataset=None, run_name='e0')
+    cfg_b = make_config(tmp_path / 'steps', epochs=3, theta_refresh_every=2,
+                        stop_at_epoch=2, model_checkpoint_path=pa)
+    pb = run_dl(str(tmp_path / 'steps'), cfg_b.copy(), fold,
+                training_dataset=ds, test_dataset=None, run_name='e1')
+    a, b = load_checkpoint(pa), load_checkpoint(pb)
+    # epoch 1 is a cached epoch (1 % 2 == 1): ATMs frozen
+    assert leaves_equal(a['atm_params'], b['atm_params'])
+    assert not leaves_equal(a['unet_params'], b['unet_params'])
 
 
 @pytest.mark.slow

@@ -66,6 +66,44 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
+    def test_cached_theta_step_matches_locnet_step(self, rng):
+        """Theta cadence: with augmentation off, a cached-theta step fed
+        theta_pass snapshots reproduces the locnet step's loss (the thetas are
+        exactly constant between transform updates), trains the unet, and
+        leaves the ATM params untouched."""
+        import dataclasses
+        from acquisition_focus_tpu.engine.train import theta_pass
+        spec = tiny_spec(augment_input=False)
+        unet, atms, up, ap, r_opt, t_opt, r_state, t_state = self._setup(spec)
+        accum = spec.num_grad_accum_steps
+        batch = tiny_batch(spec, accum, 1, rng)
+
+        thetas = jnp.stack([
+            theta_pass(spec, ap, {
+                'label': batch['label'][a],
+                'nii_affine': batch['nii_affine'][a],
+                'view_affines': batch['view_affines'][a]})
+            for a in range(accum)])                     # (accum, A, B, 4, 4)
+        cbatch = dict(batch, thetas=thetas)
+        spec_cached = dataclasses.replace(spec, theta_source='cached')
+
+        out_full = train_step(spec, unet, atms, r_opt, t_opt,
+                              up, ap, r_state, t_state, batch, jax.random.key(1))
+        # rebuild state (donated buffers) for the cached run
+        unet, atms, up, ap, r_opt, t_opt, r_state, t_state = self._setup(spec)
+        ap0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), ap)
+        up0_norm = flat_norm(up)
+        out_cached = train_step(spec_cached, unet, atms, r_opt, t_opt,
+                                up, ap, r_state, t_state, cbatch,
+                                jax.random.key(1))
+        np.testing.assert_allclose(float(out_full[4]['loss']),
+                                   float(out_cached[4]['loss']), rtol=1e-5)
+        for old, new in zip(jax.tree_util.tree_leaves(ap0),
+                            jax.tree_util.tree_leaves(out_cached[1])):
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+        # the reconstruction net must still have trained
+        assert flat_norm(out_cached[0]) != up0_norm
+
     def test_frozen_views_do_not_move(self, rng):
         spec = tiny_spec(view_optimization_mode='opt-current-fix-previous')
         unet, atms, up, ap, r_opt, t_opt, r_state, t_state = self._setup(spec)
