@@ -69,8 +69,16 @@ def build_workload(compute_dtype='bfloat16'):
     opt_mode = os.environ.get('BENCH_OPT_MODE', 'opt-all')
     if opt_mode not in ('opt-all', 'opt-current-fix-previous', 'opt-none'):
         raise SystemExit(f"BENCH_OPT_MODE={opt_mode!r} is not a known mode")
+    # BENCH_PRESCAN=64 (etc.) shrinks the localization-net input grid at
+    # constant physical FOV (192mm): the locnet is the single largest step
+    # bucket (561 ms of its 1.82 s at 128^3, PERF.md) and its input is a
+    # stop-grad prescan whose resolution is a config axis the reference
+    # itself ablates (32^3@6mm meta variants). Recipe change -> needs the
+    # Dice-parity sweep before becoming a default.
+    prescan = int(os.environ.get('BENCH_PRESCAN', '128'))
     spec = StageSpec(
         n_views=3, num_classes=6, n_active_views=3,
+        prescan_fov_vox=(prescan, prescan, prescan),
         # default 'opt-all' (every locnet trained) for continuity with the
         # BENCH_BASELINE series; BENCH_OPT_MODE=opt-current-fix-previous
         # measures the standard stage-sweep step, where frozen views' locnet
@@ -91,6 +99,12 @@ def build_workload(compute_dtype='bfloat16'):
         decoder_save_names=tuple(
             os.environ.get('BENCH_DECODER_SAVE',
                            'conv_out,conv_in0').split(',')))
+
+    # BENCH_THETA_CADENCE=k (k > 1) measures the theta-refresh-cadence recipe
+    # (config `theta_refresh_every`): per k steps, 1 full step (locnet trained)
+    # + (k-1) cached-theta steps (no locnet traced) + the amortized per-sample
+    # theta_pass snapshot cost. Reported value is the blended slices/sec.
+    theta_cadence = int(os.environ.get('BENCH_THETA_CADENCE', '1'))
 
     unet, atms = make_models(spec)
     unet_params, atm_params = init_params(spec, jax.random.key(0), batch_size=1)
@@ -114,13 +128,34 @@ def build_workload(compute_dtype='bfloat16'):
 
     state = [unet_params, atm_params, recon_state, trans_state]
 
-    def step(i):
-        # train_step donates the state buffers; thread them through
-        out = train_step(spec, unet, atms, recon_opt, trans_opt,
-                         state[0], state[1], state[2], state[3],
-                         batch, jax.random.key(i))
-        state[0], state[1], state[2], state[3] = out[0], out[1], out[2], out[3]
-        return out[4]['loss']
+    def make_step(step_spec, step_batch):
+        def step(i):
+            # train_step donates the state buffers; thread them through
+            out = train_step(step_spec, unet, atms, recon_opt, trans_opt,
+                             state[0], state[1], state[2], state[3],
+                             step_batch, jax.random.key(i))
+            state[0], state[1], state[2], state[3] = \
+                out[0], out[1], out[2], out[3]
+            return out[4]['loss']
+        return step
+
+    step = make_step(spec, batch)
+    cadence_parts = None
+    if theta_cadence > 1:
+        import dataclasses
+        from acquisition_focus_tpu.engine.train import theta_pass
+        spec_cached = dataclasses.replace(spec, theta_source='cached')
+        cbatch = dict(batch, thetas=jnp.broadcast_to(
+            jnp.eye(4), (accum, spec.n_views, B, 4, 4)).astype(jnp.float32))
+        step_cached = make_step(spec_cached, cbatch)
+        micro1 = {'label': batch['label'][0, :1],
+                  'nii_affine': batch['nii_affine'][0, :1],
+                  'view_affines': batch['view_affines'][0][:, :1]}
+
+        def theta_one(i):
+            th = theta_pass(spec, state[1], micro1)
+            return th.sum()
+        cadence_parts = (step_cached, theta_one, theta_cadence)
 
     def _lowered_flops(lowered):
         cost = lowered.compile().cost_analysis()
@@ -149,7 +184,7 @@ def build_workload(compute_dtype='bfloat16'):
         return 3.0 * accum * fwd if fwd else None
 
     n_slices = accum * B * spec.n_views
-    return step, n_slices, flops_per_step, model_flops_per_step
+    return step, n_slices, flops_per_step, model_flops_per_step, cadence_parts
 
 
 def time_step(step, n_warmup=1, n_timed=3):
@@ -166,8 +201,28 @@ def time_step(step, n_warmup=1, n_timed=3):
 
 def measure():
     import jax
-    step, n_slices, flops_per_step, model_flops_per_step = build_workload()
+    (step, n_slices, flops_per_step, model_flops_per_step,
+     cadence_parts) = build_workload()
     step_time = time_step(step)
+    cadence_detail = {}
+    if cadence_parts is not None:
+        # blended step over one cadence cycle: 1 full + (k-1) cached steps,
+        # plus the per-sample theta snapshot amortized over the cycle's steps
+        # (one snapshot of every sample per k epochs == samples-per-step/k
+        # theta_pass calls per step)
+        step_cached, theta_one, k = cadence_parts
+        t_cached = time_step(step_cached)
+        t_theta = time_step(theta_one, n_warmup=1, n_timed=5)
+        samples_per_step = n_slices // 3
+        blended = ((step_time + (k - 1) * t_cached) / k
+                   + t_theta * samples_per_step / k)
+        cadence_detail = {
+            'theta_cadence': k,
+            'full_step_time_s': round(step_time, 4),
+            'cached_step_time_s': round(t_cached, 4),
+            'theta_pass_per_sample_s': round(t_theta, 4),
+        }
+        step_time = blended
     slices_per_sec = n_slices / step_time
 
     baseline_file = HERE / 'BENCH_BASELINE.json'
@@ -184,6 +239,7 @@ def measure():
         'vs_baseline': round(vs_baseline, 2),
         'step_time_s': round(step_time, 4),
         'device': str(jax.devices()[0]),
+        **cadence_detail,
     }
     try:
         flops = flops_per_step()
@@ -232,7 +288,26 @@ def parse_json_line(text):
     return None
 
 
+def emit_startup_stale_line():
+    """Print the last known-good record IMMEDIATELY, before any live attempt.
+
+    The driver runs `python bench.py` under an external ~1200 s timeout and
+    parses the last JSON line of stdout. Round-4 lesson (BENCH_r04.json
+    rc=124, parsed=null): one wedged-backend attempt can eat the whole
+    window, and a stale-fallback that only prints *after* all attempts is
+    then never reached. Emitting the stale line first makes the perf record
+    un-loseable — a later live line supersedes it as the last JSON line."""
+    if LASTGOOD.is_file():
+        rec = json.loads(LASTGOOD.read_text())
+        rec['stale'] = True
+        rec['stale_reason'] = (
+            'preliminary last-known-good emitted at startup; superseded by '
+            'the live measurement line below if one completes')
+        print(json.dumps(rec), flush=True)
+
+
 def orchestrate(attempts, worker_timeout, backoffs, record=True):
+    emit_startup_stale_line()
     for i in range(attempts):
         try:
             proc = subprocess.run(
@@ -276,10 +351,16 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--worker', action='store_true',
                    help='run one measurement in-process (no retry wrapper)')
-    # live worker needs ~60 s claim + ~40 s compile + a few steps; 1200 s is
-    # ample, and 3 attempts + backoffs bound a dead-backend run to ~75 min
-    p.add_argument('--attempts', type=int, default=3)
-    p.add_argument('--worker_timeout', type=int, default=1200)
+    # live worker needs ~60 s claim + ~40 s compile + a few steps (~3-4 min
+    # total when healthy). The DRIVER runs this script under its own ~1200 s
+    # timeout (BENCH_r04.json: rc=124 after exactly 1200 s), so the whole
+    # orchestration must fit inside ~1100 s: 2 attempts x 420 s + 120 s
+    # backoff = 960 s worst case. Timed-out workers are SIGKILLed by
+    # subprocess.run (SIGTERM is pended while a client blocks in a PJRT
+    # call — PERF.md operational facts), and the startup stale line above
+    # guarantees the driver parses a record even if we are killed mid-run.
+    p.add_argument('--attempts', type=int, default=2)
+    p.add_argument('--worker_timeout', type=int, default=420)
     p.add_argument('--no-record', action='store_true',
                    help='experiment run: print the measurement but do not '
                         'overwrite BENCH_LASTGOOD.json (the default-config '
@@ -288,7 +369,7 @@ def main(argv=None):
     if a.worker:
         worker_main()
         return 0
-    return orchestrate(a.attempts, a.worker_timeout, backoffs=(300, 600),
+    return orchestrate(a.attempts, a.worker_timeout, backoffs=(120,),
                        record=not a.no_record)
 
 
