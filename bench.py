@@ -199,7 +199,7 @@ def time_step(step, n_warmup=1, n_timed=3):
     return (time.time() - t0) / n_timed
 
 
-def measure():
+def measure(on_base_record=None):
     import jax
     (step, n_slices, flops_per_step, model_flops_per_step,
      cadence_parts) = build_workload()
@@ -241,6 +241,12 @@ def measure():
         'device': str(jax.devices()[0]),
         **cadence_detail,
     }
+    # the timed measurement is complete here — surface it BEFORE the FLOPs
+    # cost-analysis passes, which each recompile the step through the remote
+    # tunnel and can dominate the worker's wall time. A worker killed during
+    # enrichment has still delivered its number.
+    if on_base_record is not None:
+        on_base_record(record)
     try:
         flops = flops_per_step()
     except Exception as e:  # cost analysis must never sink the number
@@ -271,7 +277,11 @@ def measure():
 
 
 def worker_main():
-    rec = measure()
+    # print the timed measurement the moment it exists (the FLOPs enrichment
+    # recompiles the step twice through the remote tunnel and can take minutes)
+    # and the enriched record after; the orchestrator keeps the LAST line, and
+    # salvages the first from a worker killed mid-enrichment.
+    rec = measure(on_base_record=lambda r: print(json.dumps(r), flush=True))
     print(json.dumps(rec), flush=True)
 
 
@@ -314,9 +324,16 @@ def orchestrate(attempts, worker_timeout, backoffs, record=True):
                 [sys.executable, str(HERE / 'bench.py'), '--worker'],
                 capture_output=True, text=True, timeout=worker_timeout,
                 cwd=str(HERE))
-            rec = parse_json_line(proc.stdout) if proc.returncode == 0 else None
+            # parse stdout regardless of rc: the worker prints its timed
+            # measurement BEFORE the FLOPs enrichment, so a crash (or kill)
+            # mid-enrichment has still delivered a valid number
+            rec = parse_json_line(proc.stdout)
             if rec is not None:
                 rec['stale'] = False
+                if proc.returncode != 0:
+                    rec['partial'] = ('worker exited rc=%d after the timed '
+                                      'measurement (FLOPs enrichment lost)'
+                                      % proc.returncode)
                 if record:
                     LASTGOOD.write_text(json.dumps(rec, indent=2))
                 print(json.dumps(rec))
@@ -325,9 +342,23 @@ def orchestrate(attempts, worker_timeout, backoffs, record=True):
             print(f'bench attempt {i + 1}/{attempts} failed '
                   f'(rc={proc.returncode}): {err[-1] if err else "?"}',
                   file=sys.stderr)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             # the killed worker may wedge the chip grant; the backoff below
-            # outlasts the ~5 min grant expiry (PERF.md)
+            # outlasts the ~5 min grant expiry (PERF.md). Salvage the timed
+            # measurement if the worker got that far before the SIGKILL.
+            out = e.stdout
+            if isinstance(out, bytes):
+                out = out.decode(errors='replace')
+            rec = parse_json_line(out or '')
+            if rec is not None:
+                rec['stale'] = False
+                rec['partial'] = (f'worker SIGKILLed at the {worker_timeout}s '
+                                  'cap after the timed measurement (FLOPs '
+                                  'enrichment lost)')
+                if record:
+                    LASTGOOD.write_text(json.dumps(rec, indent=2))
+                print(json.dumps(rec))
+                return 0
             print(f'bench attempt {i + 1}/{attempts} timed out '
                   f'after {worker_timeout}s', file=sys.stderr)
         if i + 1 < attempts:
@@ -351,16 +382,19 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--worker', action='store_true',
                    help='run one measurement in-process (no retry wrapper)')
-    # live worker needs ~60 s claim + ~40 s compile + a few steps (~3-4 min
-    # total when healthy). The DRIVER runs this script under its own ~1200 s
-    # timeout (BENCH_r04.json: rc=124 after exactly 1200 s), so the whole
-    # orchestration must fit inside ~1100 s: 2 attempts x 420 s + 120 s
-    # backoff = 960 s worst case. Timed-out workers are SIGKILLed by
-    # subprocess.run (SIGTERM is pended while a client blocks in a PJRT
-    # call — PERF.md operational facts), and the startup stale line above
-    # guarantees the driver parses a record even if we are killed mid-run.
+    # healthy worker measured 2026-08-20: 6m11s total — ~5 min to the timed
+    # measurement (claim + compiles + steps), then ~70 s of FLOPs-enrichment
+    # recompiles; the worker prints the timed record the moment it exists and
+    # the orchestrator salvages it from killed workers. The DRIVER runs this
+    # script under its own ~1200 s timeout (BENCH_r04.json: rc=124 after
+    # exactly 1200 s), so the whole orchestration must fit inside ~1100 s:
+    # 2 attempts x 480 s + 90 s backoff = 1050 s worst case. Timed-out
+    # workers are SIGKILLed by subprocess.run (SIGTERM is pended while a
+    # client blocks in a PJRT call — PERF.md operational facts), and the
+    # startup stale line above guarantees the driver parses a record even if
+    # we are killed mid-run.
     p.add_argument('--attempts', type=int, default=2)
-    p.add_argument('--worker_timeout', type=int, default=420)
+    p.add_argument('--worker_timeout', type=int, default=480)
     p.add_argument('--no-record', action='store_true',
                    help='experiment run: print the measurement but do not '
                         'overwrite BENCH_LASTGOOD.json (the default-config '
@@ -369,7 +403,7 @@ def main(argv=None):
     if a.worker:
         worker_main()
         return 0
-    return orchestrate(a.attempts, a.worker_timeout, backoffs=(120,),
+    return orchestrate(a.attempts, a.worker_timeout, backoffs=(90,),
                        record=not a.no_record)
 
 
